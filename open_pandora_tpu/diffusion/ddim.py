@@ -1,0 +1,219 @@
+"""DDIM sampler as a single `lax.scan` over precomputed per-step arrays.
+
+Behavioral spec: /root/reference/DynamiCrafter/lvdm/models/samplers/ddim.py
+(p_sample_ddim :217-290 — 2-way CFG, guidance_rescale, v->eps conversion,
+dynamic-rescale correction, x_prev update) and ddim_multiplecond.py:210-234
+(3-way CFG). TPU-native differences:
+
+  - the Python for-loop over 50 steps becomes `lax.scan`; latents stay
+    HBM-resident, zero host sync until the end
+  - batched CFG: cond & uncond stacked on the batch axis -> ONE UNet call
+    per step instead of two sequential calls (same math, half the latency
+    at batch 1 since the UNet is latency- not throughput-bound there)
+  - noise is drawn from an explicit, folded-in PRNG key (the reference's
+    torch.randn at ddim.py:285 is untracked global state)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_pandora_tpu.core.config import SamplerConfig
+from open_pandora_tpu.diffusion.schedule import (
+    DiffusionSchedule,
+    make_ddim_params,
+    make_ddim_timesteps,
+)
+
+
+@dataclass(frozen=True)
+class DDIMParams:
+    """Per-step arrays in SAMPLING ORDER (descending t), each shape (S,) fp32.
+
+    Precomputed once per (steps, eta, spacing); closed over by the jitted
+    sampler, so they are compile-time constants for XLA.
+    """
+
+    ts: jnp.ndarray                 # int32 ddpm timestep per sampling step
+    a_t: jnp.ndarray                # alphas_cumprod[ts]
+    a_prev: jnp.ndarray
+    sigma_t: jnp.ndarray
+    sqrt_one_minus_at: jnp.ndarray
+    sqrt_ac_t: jnp.ndarray          # sqrt_alphas_cumprod[ts]  (v-conversion)
+    sqrt_1mac_t: jnp.ndarray        # sqrt_one_minus_alphas_cumprod[ts]
+    rescale_t: jnp.ndarray          # prev_scale/scale dynamic-rescale factor
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.ts.shape[0])
+
+
+def make_ddim_schedule(
+    sched: DiffusionSchedule,
+    steps: int,
+    eta: float,
+    timestep_spacing: str = "uniform_trailing",
+    use_dynamic_rescale: bool = True,
+) -> DDIMParams:
+    ddim_ts = make_ddim_timesteps(timestep_spacing, steps, sched.num_timesteps)
+    ac = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    a, a_prev, sigmas = make_ddim_params(ac, ddim_ts, eta)
+
+    scale_arr = np.asarray(sched.scale_arr, dtype=np.float64)
+    if use_dynamic_rescale:
+        scale = scale_arr[ddim_ts]
+        scale_prev = np.concatenate([scale[0:1], scale[:-1]])
+        rescale = scale_prev / scale
+    else:
+        rescale = np.ones_like(a)
+
+    # flip into sampling order (largest t first) — ddim.py:168 np.flip
+    flip = lambda x: jnp.asarray(np.flip(np.asarray(x)).copy(), dtype=jnp.float32)
+    return DDIMParams(
+        ts=jnp.asarray(np.flip(ddim_ts).copy(), dtype=jnp.int32),
+        a_t=flip(a),
+        a_prev=flip(a_prev),
+        sigma_t=flip(sigmas),
+        sqrt_one_minus_at=flip(np.sqrt(1.0 - a)),
+        sqrt_ac_t=flip(np.sqrt(a)),
+        sqrt_1mac_t=flip(np.sqrt(1.0 - a)),
+        rescale_t=flip(rescale),
+    )
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
+    """arXiv:2305.08891 sec 3.4 (utils_diffusion.py:147-158)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+# model_fn(x, t_b) -> dict with 'cond' and optionally 'uncond', 'uncond_img'
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], dict]
+
+
+def ddim_sample(
+    model_fn: ModelFn,
+    params: DDIMParams,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    *,
+    guidance_scale: float = 1.0,
+    cfg_img: Optional[float] = None,
+    guidance_rescale: float = 0.0,
+    temperature: float = 1.0,
+    parameterization: str = "v",
+) -> jnp.ndarray:
+    """Run the full DDIM reverse process; returns x_0 latents.
+
+    `model_fn` evaluates the denoiser for all needed guidance streams at once
+    (callers should stack streams on the batch axis for a single UNet call —
+    see `make_cfg_model_fn`).
+    """
+    S = params.num_steps
+    b = x_T.shape[0]
+    bshape = (b,) + (1,) * (x_T.ndim - 1)
+
+    def step(carry, idx):
+        x = carry
+        t = params.ts[idx]
+        t_b = jnp.full((b,), t, dtype=jnp.int32)
+
+        outs = model_fn(x, t_b)
+        e_cond = outs["cond"]
+        if guidance_scale == 1.0 or "uncond" not in outs:
+            model_output = e_cond
+        elif cfg_img is not None and "uncond_img" in outs:
+            # 3-way CFG (ddim_multiplecond.py:210-234)
+            e_uc = outs["uncond"]
+            e_uc_img = outs["uncond_img"]
+            model_output = (
+                e_uc
+                + cfg_img * (e_uc_img - e_uc)
+                + guidance_scale * (e_cond - e_uc_img)
+            )
+        else:
+            e_uc = outs["uncond"]
+            model_output = e_uc + guidance_scale * (e_cond - e_uc)
+        if guidance_rescale > 0.0:
+            model_output = rescale_noise_cfg(model_output, e_cond, guidance_rescale)
+
+        sqrt_ac = params.sqrt_ac_t[idx]
+        sqrt_1mac = params.sqrt_1mac_t[idx]
+        if parameterization == "v":
+            # predict_eps_from_z_and_v (ddpm3d.py:243-247)
+            e_t = sqrt_ac * model_output + sqrt_1mac * x
+            # predict_start_from_z_and_v (ddpm3d.py:235-241)
+            pred_x0 = sqrt_ac * x - sqrt_1mac * model_output
+        else:
+            e_t = model_output
+            pred_x0 = (x - params.sqrt_one_minus_at[idx] * e_t) / jnp.sqrt(
+                params.a_t[idx]
+            )
+
+        # dynamic rescale correction (ddim.py:273-277)
+        pred_x0 = pred_x0 * params.rescale_t[idx]
+
+        a_prev = params.a_prev[idx]
+        sigma_t = params.sigma_t[idx]
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t ** 2, 0.0)) * e_t
+        noise_key = jax.random.fold_in(key, idx)
+        noise = (
+            sigma_t
+            * jax.random.normal(noise_key, x.shape, dtype=x.dtype)
+            * temperature
+        )
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        return x_prev.astype(x.dtype), None
+
+    x0, _ = jax.lax.scan(step, x_T, jnp.arange(S))
+    return x0
+
+
+def make_cfg_model_fn(
+    apply_model: Callable,
+    cond,
+    uncond=None,
+    uncond_img=None,
+    batched_cfg: bool = True,
+) -> ModelFn:
+    """Build a ModelFn evaluating all guidance streams.
+
+    With `batched_cfg` (TPU default) the streams are stacked on the batch
+    axis, giving ONE UNet call per step (vs the reference's 2 sequential
+    `apply_model` calls at ddim.py:230-238). `apply_model(x, t, cond)` must
+    treat conditioning leaves with a leading batch dim.
+    """
+    streams = [("cond", cond)]
+    if uncond is not None:
+        streams.append(("uncond", uncond))
+    if uncond_img is not None:
+        streams.append(("uncond_img", uncond_img))
+    n = len(streams)
+
+    if not batched_cfg or n == 1:
+
+        def model_fn_seq(x, t_b):
+            return {name: apply_model(x, t_b, c) for name, c in streams}
+
+        return model_fn_seq
+
+    stacked_cond = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *[c for _, c in streams]
+    )
+
+    def model_fn_batched(x, t_b):
+        xs = jnp.concatenate([x] * n, axis=0)
+        ts = jnp.concatenate([t_b] * n, axis=0)
+        out = apply_model(xs, ts, stacked_cond)
+        parts = jnp.split(out, n, axis=0)
+        return {name: p for (name, _), p in zip(streams, parts)}
+
+    return model_fn_batched
