@@ -1,0 +1,63 @@
+"""Attention dispatcher: Pallas flash on TPU for large sequences, XLA twin
+everywhere else.
+
+Heuristics:
+  - cross-attention with tiny KV (77 text / 16*t image tokens,
+    reference attention.py:89-144) and temporal attention (t=16,
+    attention.py:365-412) never materialize a big score matrix -> XLA is
+    already at the bandwidth roofline there; flash adds nothing.
+  - spatial self-attention (h*w = 2560..9216 tokens) and LLaMA causal
+    prefill get the Pallas flash kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from open_pandora_tpu.ops.attention_xla import mha_xla
+from open_pandora_tpu.ops.flash_attention import flash_attention
+
+# below this q*kv size, the scores matrix is small enough that XLA's fused
+# softmax-attention is as fast as a custom kernel
+_FLASH_MIN_Q = 512
+_FLASH_MIN_KV = 256
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention, q (B, N, H, D), k/v (B, M, H, D) -> (B, N, H, D).
+
+    backend: 'auto' | 'flash' | 'xla'. Arbitrary masks force the XLA path
+    (the flash kernel supports causal + kv-length masking only).
+    """
+    if backend == "auto":
+        use_flash = (
+            _on_tpu()
+            and mask is None
+            and q.shape[1] >= _FLASH_MIN_Q
+            and k.shape[1] >= _FLASH_MIN_KV
+        )
+        backend = "flash" if use_flash else "xla"
+    if backend == "flash":
+        if mask is not None:
+            raise ValueError("flash backend supports causal masking only")
+        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+    return mha_xla(q, k, v, causal=causal, mask=mask, sm_scale=sm_scale)
