@@ -1,0 +1,165 @@
+"""LLaMA-7B trunk — TPU-native flax implementation (prefill-oriented).
+
+Behavioral spec: /root/reference/ChatUniVi/model/language_model/llama.py:12-121
+(ChatUniViLlamaForCausalLM wraps HF LlamaModel; the WorldModel calls the BARE
+trunk — `video_model.model(...)` at model.py:659 — on spliced inputs_embeds
+and consumes hidden states only, never the lm_head). HF LLaMA semantics:
+RMSNorm eps 1e-6 (fp32 stats, scale after cast-back), rotary embeddings
+(theta 10000, full head dim), SwiGLU MLP, pre-norm residual blocks.
+
+Token ids (reference model.py:636,848: "ugly hardcode"):
+  <image> = 32000 (= vocab_size, the splice marker IMAGE_TOKEN_INDEX)
+  [IMG_P] = 32001 (vocab_size + 1, the connector's learned-prefix slots)
+
+TPU-first: causal attention through ops.attention (Pallas flash for long
+prefill); the embedding table is exposed via embed() so the multimodal
+splice can mix token embeddings with projected CLIP features
+(arch.py:219-396 equivalent) before the trunk runs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from open_pandora_tpu.core.config import LLaMAConfig
+from open_pandora_tpu.ops.attention import attention
+from open_pandora_tpu.ops.norms import rms_norm
+
+IMAGE_TOKEN_ID = 32000
+IMG_PREFIX_TOKEN_ID = 32001
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        return rms_norm(x, scale, eps=self.eps)
+
+
+def rotary_embed(x: jnp.ndarray, positions: jnp.ndarray,
+                 theta: float = 10000.0) -> jnp.ndarray:
+    """Apply RoPE. x: (b, n, h, d); positions: (b, n) or (n,).
+
+    HF LLaMA layout: rotate_half with the dim split in two contiguous
+    halves (not interleaved)."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (b, n, d/2)
+    cos = jnp.cos(freqs)[:, :, None, :]  # (b, n, 1, d/2)
+    sin = jnp.sin(freqs)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LLaMAConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, mask=None):
+        cfg = self.cfg
+        b, n, _ = x.shape
+        h, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        q = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                     name="q_proj")(x).reshape(b, n, h, dh)
+        k = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                     name="k_proj")(x).reshape(b, n, h, dh)
+        v = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                     name="v_proj")(x).reshape(b, n, h, dh)
+        q = rotary_embed(q, positions, cfg.rope_theta)
+        k = rotary_embed(k, positions, cfg.rope_theta)
+        o = attention(q, k, v, causal=True, mask=mask).reshape(b, n, -1)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="o_proj")(o)
+
+
+class LlamaMLP(nn.Module):
+    cfg: LLaMAConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                      dtype=self.dtype, name="up_proj")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(jax.nn.silu(gate) * up)
+
+
+class LlamaLayer(nn.Module):
+    cfg: LLaMAConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, mask=None):
+        x = x + LlamaAttention(self.cfg, dtype=self.dtype, name="self_attn")(
+            RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
+            positions, mask)
+        x = x + LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(
+            RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x))
+        return x
+
+
+class LlamaTrunk(nn.Module):
+    """The bare LlamaModel (no lm_head): inputs_embeds -> hidden states."""
+
+    cfg: LLaMAConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds: jnp.ndarray,
+                 positions: Optional[jnp.ndarray] = None,
+                 attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        b, n, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.arange(n, dtype=jnp.int32)
+        mask = None
+        if attention_mask is not None:
+            # (b, n) key padding -> (b, 1, 1, n), combined with causal inside
+            mask = attention_mask[:, None, None, :].astype(bool)
+        x = inputs_embeds.astype(self.dtype)
+        layer_cls = nn.remat(LlamaLayer) if self.remat else LlamaLayer
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}")(
+                x, positions, mask)
+        return RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+
+
+class LlamaForCausalLM(nn.Module):
+    """Trunk + embedding + lm_head (needed only for ChatUniVi-standalone
+    generation/eval, not by the WorldModel conditioning path)."""
+
+    cfg: LLaMAConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(self.cfg.total_vocab, self.cfg.hidden_size,
+                                     dtype=self.dtype, name="embed_tokens")
+        self.model = LlamaTrunk(self.cfg, dtype=self.dtype, name="model")
+        self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=False,
+                                dtype=self.dtype, name="lm_head")
+
+    def embed(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(token_ids)
+
+    def trunk(self, inputs_embeds, positions=None, attention_mask=None):
+        return self.model(inputs_embeds, positions, attention_mask)
+
+    def __call__(self, token_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = self.model(self.embed_tokens(token_ids),
+                       attention_mask=attention_mask)
+        return self.lm_head(h)

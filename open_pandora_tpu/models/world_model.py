@@ -1,0 +1,260 @@
+"""WorldModel — the full Open-Pandora composite: frozen ChatUniVi LLM stack
+(CLIP ViT-L tower + DPC-KNN clustering + LLaMA-7B trunk) + trainable
+connector + DynamiCrafter diffusion stack.
+
+Behavioral spec: /root/reference/model.py:557-981 (the LIVE second copy):
+  - get_diffusion_conditioning :616-686: splice CLIP features into token
+    embeds (arch.py:219-396), overwrite [IMG_P] rows with the learned
+    prefix (:642-654), run the bare LLaMA trunk (:659), gather hidden
+    states at the [IMG_P] mask -> (rounds, 64, 4096) (:673-677), project
+    through the Q-Former connector -> (rounds, 77, 1024) (:678-686)
+  - generate :783-826: conditioning[-1:] + image_guided_synthesis
+  - alignment_forward :886-923: KL(log_softmax(llm_cond) || softmax(OpenCLIP
+    text embedding)), batchmean
+
+TPU-first: the reference's ragged splice becomes a STATIC segment layout
+(SURVEY.md §7.0): prompts are built host-side as typed segments (tokens /
+image / video / img-prefix); every shape is known at trace time, so the
+whole conditioning path jits. The dynamic ragged path is unnecessary — the
+product grammar is fixed (model.py:1020,1055).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from open_pandora_tpu.core.config import PandoraConfig
+from open_pandora_tpu.models.clip_tower import CLIPVisionTower
+from open_pandora_tpu.models.cluster import (project_image_tokens,
+                                             project_video_tokens)
+from open_pandora_tpu.models.connector import Connector
+from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
+from open_pandora_tpu.models.llama import LlamaForCausalLM
+import flax.linen as nn
+
+
+# -- prompt layout ----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TokenSegment:
+    """Plain text tokens, shape (b, n)."""
+    ids: Any  # jnp.ndarray (b, n) int32
+
+
+@dataclass(frozen=True)
+class ImageSegment:
+    """One image -> 112 clustered feature tokens. `index` into the prompt's
+    image stack."""
+    index: int
+
+
+@dataclass(frozen=True)
+class VideoSegment:
+    """A run of consecutive frames -> 112 * ceil(T/16) clustered tokens
+    (the reference's consecutive-<image> grouping, arch.py:261-307)."""
+    indices: Tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class PrefixSegment:
+    """64 learned [IMG_P] rows; hidden states here feed the connector."""
+    length: int = 64
+
+
+Segment = Union[TokenSegment, ImageSegment, VideoSegment, PrefixSegment]
+
+
+@dataclass
+class MultimodalPrompt:
+    """Host-built prompt: ordered segments + the CLIP image stack
+    (b, n_images, 224, 224, 3), preprocessed for the ViT-L tower."""
+    segments: List[Segment]
+    images: Any  # (b, n_images, 224, 224, 3)
+
+
+class MMProjector(nn.Module):
+    """mm_projector Linear(1024 -> 4096) (arch.py:16)."""
+
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
+
+
+class WorldModel:
+    """Functional composite over a params dict:
+    {**DynamiCrafter params, 'llama', 'clip_tower', 'mm_projector',
+     'connector'}."""
+
+    def __init__(self, cfg: PandoraConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.diffusion = DynamiCrafter(cfg, dtype=dtype)
+        self.llama = LlamaForCausalLM(cfg.llama, dtype=dtype)
+        self.clip_tower = CLIPVisionTower(cfg.clip_tower, dtype=dtype)
+        self.mm_projector = MMProjector(cfg.llama.hidden_size, dtype=dtype)
+        self.connector = Connector(cfg.connector, cfg.qformer, dtype=dtype)
+
+    # -- init ---------------------------------------------------------------
+
+    def init_params(self, key: jax.Array, *, height: int = 320,
+                    width: int = 512) -> Dict[str, Any]:
+        kd, kl, kt, km, kc = jax.random.split(key, 5)
+        params = self.diffusion.init_params(kd, height=height, width=width)
+        tower_in = jnp.zeros(
+            (1, self.cfg.clip_tower.image_size, self.cfg.clip_tower.image_size,
+             3), self.dtype)
+        imgp = jnp.zeros(
+            (1, self.cfg.connector.image_prefix_length,
+             self.cfg.connector.llm_hidden), self.dtype)
+        params.update({
+            "llama": self.llama.init(kl, jnp.zeros((1, 8), jnp.int32)),
+            "clip_tower": self.clip_tower.init(kt, tower_in),
+            "mm_projector": self.mm_projector.init(
+                km, jnp.zeros((1, 1, self.cfg.clip_tower.width), self.dtype)),
+            "connector": self.connector.init(kc, imgp),
+        })
+        return params
+
+    # -- conditioning path --------------------------------------------------
+
+    def encode_tower(self, params, images: jnp.ndarray) -> jnp.ndarray:
+        """(n, 224, 224, 3) -> (n, 256, 1024) patch features."""
+        return self.clip_tower.apply(params["clip_tower"], images)
+
+    def build_inputs_embeds(
+        self, params, prompt: MultimodalPrompt
+    ) -> Tuple[jnp.ndarray, List[Tuple[int, int]]]:
+        """Splice segments into (b, L, 4096) embeds. Returns (embeds,
+        [(start, len) of each prefix segment])."""
+        cfg = self.cfg
+        b = prompt.images.shape[0] if prompt.images is not None else 1
+        n_img = prompt.images.shape[1] if prompt.images is not None else 0
+        if n_img:
+            flat = prompt.images.reshape((-1,) + prompt.images.shape[2:])
+            feats = self.encode_tower(params, flat)
+            feats = feats.reshape(b, n_img, *feats.shape[1:])
+
+        def proj(x):
+            return self.mm_projector.apply(params["mm_projector"], x)
+
+        embeds = []
+        prefix_spans = []
+        pos = 0
+        for seg in prompt.segments:
+            if isinstance(seg, TokenSegment):
+                e = self.llama.apply(params["llama"], seg.ids,
+                                     method=LlamaForCausalLM.embed)
+                embeds.append(e)
+                pos += e.shape[1]
+            elif isinstance(seg, ImageSegment):
+                f = jax.vmap(lambda fb: project_image_tokens(
+                    fb[None], cfg.cluster.spatial_rates)[0])(
+                    feats[:, seg.index])
+                e = proj(f)
+                embeds.append(e)
+                pos += e.shape[1]
+            elif isinstance(seg, VideoSegment):
+                idx = jnp.asarray(seg.indices)
+                f = jax.vmap(lambda fb: project_video_tokens(
+                    fb, cfg.cluster.spatial_rates,
+                    cfg.cluster.temporal_rate)[0])(feats[:, idx])
+                e = proj(f)
+                embeds.append(e)
+                pos += e.shape[1]
+            elif isinstance(seg, PrefixSegment):
+                rows = self.connector.apply(
+                    params["connector"],
+                    method=Connector.prefix_embeddings).astype(self.dtype)
+                embeds.append(jnp.broadcast_to(
+                    rows[None], (b, seg.length, rows.shape[-1])))
+                prefix_spans.append((pos, seg.length))
+                pos += seg.length
+            else:
+                raise TypeError(f"unknown segment {seg!r}")
+        return jnp.concatenate(embeds, axis=1), prefix_spans
+
+    def get_diffusion_conditioning(
+        self, params, prompt: MultimodalPrompt,
+        attention_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """-> (b, rounds, 77, 1024) diffusion conditioning, one entry per
+        [IMG_P] block (model.py:616-686)."""
+        embeds, spans = self.build_inputs_embeds(params, prompt)
+        hidden = self.llama.apply(params["llama"], embeds,
+                                  attention_mask=attention_mask,
+                                  method=LlamaForCausalLM.trunk)
+        b = hidden.shape[0]
+        per_round = []
+        for (start, length) in spans:
+            per_round.append(hidden[:, start:start + length])  # (b, 64, 4096)
+        stacked = jnp.stack(per_round, axis=1)  # (b, R, 64, 4096)
+        R = stacked.shape[1]
+        flat = stacked.reshape(b * R, *stacked.shape[2:])
+        cond = self.connector.apply(params["connector"], flat)
+        return cond.reshape(b, R, *cond.shape[1:])
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(
+        self, params, prompt: MultimodalPrompt, *,
+        cond_images: jnp.ndarray, cond_frames: jnp.ndarray, key: jax.Array,
+        ddim_steps: int = 50, guidance_scale: float = 4.0, eta: float = 1.0,
+        fs: int = 15, **kw,
+    ) -> jnp.ndarray:
+        """model.py:783-826: last round's conditioning drives synthesis."""
+        cond = self.get_diffusion_conditioning(params, prompt)[:, -1]
+        return self.diffusion.image_guided_synthesis(
+            params, text_context=cond, cond_images=cond_images,
+            cond_frames=cond_frames, key=key, ddim_steps=ddim_steps,
+            guidance_scale=guidance_scale, eta=eta, fs=fs, **kw)
+
+    # -- alignment ----------------------------------------------------------
+
+    def alignment_loss(self, params, prompt: MultimodalPrompt,
+                       caption_tokens: jnp.ndarray) -> jnp.ndarray:
+        """KL(log_softmax(llm_cond) || softmax(clip_text(caption))),
+        batchmean (model.py:886-923)."""
+        llm_cond = self.get_diffusion_conditioning(params, prompt)[:, -1]
+        clip_cond = self.diffusion.encode_text(params, caption_tokens)
+        log_p = jax.nn.log_softmax(llm_cond.astype(jnp.float32), axis=-1)
+        q = jax.nn.softmax(clip_cond.astype(jnp.float32), axis=-1)
+        kl = jnp.sum(q * (jnp.log(jnp.maximum(q, 1e-12)) - log_p), axis=-1)
+        return jnp.sum(kl) / llm_cond.shape[0]
+
+
+# -- prompt builders (the product grammar, model.py:1020,1055) --------------
+
+
+def round1_prompt(bos_and_text_ids: jnp.ndarray, *, images: jnp.ndarray,
+                  prefix_len: int = 64) -> MultimodalPrompt:
+    """`bos + "<image> " + text + "[IMG_P]"*64` (model.py:1020-1024).
+    bos_and_text_ids: (b, n) — bos then the text (the "<image>" marker is
+    structural, not a token here)."""
+    bos = TokenSegment(bos_and_text_ids[:, :1])
+    text = TokenSegment(bos_and_text_ids[:, 1:])
+    return MultimodalPrompt(
+        segments=[bos, ImageSegment(0), text, PrefixSegment(prefix_len)],
+        images=images)
+
+
+def next_round_prompt(
+    history: MultimodalPrompt,
+    new_frame_indices: Sequence[int],
+    text_ids: jnp.ndarray,
+    *, prefix_len: int = 64,
+) -> MultimodalPrompt:
+    """Append `"<image>"*16 + text + "[IMG_P]"*64` (model.py:1055): the 16
+    decoded frames re-enter as a video segment."""
+    segs = list(history.segments)
+    segs.append(VideoSegment(tuple(new_frame_indices)))
+    segs.append(TokenSegment(text_ids))
+    segs.append(PrefixSegment(prefix_len))
+    return MultimodalPrompt(segments=segs, images=history.images)

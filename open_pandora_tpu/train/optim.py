@@ -1,0 +1,55 @@
+"""Optimizer + freeze policy.
+
+Behavioral spec: /root/reference/model.py:951-972 configure_optimizers —
+AdamW over [UNet params] + [connector params: query_tokens, image_prefix,
+diffusion_proj, qformer, qformer_proj]; alignment stage adds
+CosineAnnealingLR (lr -> 1e-6 over max_steps); finetune uses constant lr.
+Grad clip 0.5 by norm (config/config.yaml:32-33). Frozen sub-models
+(LLM, CLIP towers, VAE, text encoders) via freeze_sub_models
+(model.py:517-553) — here: the frozen partition simply isn't passed to the
+optimizer, and gradients are never computed for it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import optax
+
+from open_pandora_tpu.core.config import TrainConfig
+
+# params pytree top-level keys that are trainable per stage
+TRAINABLE_KEYS = {
+    "finetune": ("unet", "connector"),
+    "alignment": ("connector",),
+    # DynamiCrafter-only finetune (no LLM in the loop)
+    "dynamicrafter": ("unet",),
+}
+
+
+def trainable_partition(params: dict, stage: str) -> Tuple[dict, dict]:
+    """Split the composite params dict into (trainable, frozen) by stage."""
+    keys = TRAINABLE_KEYS[stage]
+    trainable = {k: v for k, v in params.items() if k in keys}
+    frozen = {k: v for k, v in params.items() if k not in keys}
+    return trainable, frozen
+
+
+def lr_schedule(cfg: TrainConfig):
+    if cfg.lr_schedule == "cosine":
+        # CosineAnnealingLR(T_max=max_steps, eta_min=min_lr) (model.py:967-972)
+        return optax.cosine_decay_schedule(
+            init_value=cfg.learning_rate, decay_steps=cfg.max_steps,
+            alpha=cfg.min_lr / cfg.learning_rate)
+    return cfg.learning_rate
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )

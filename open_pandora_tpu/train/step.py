@@ -1,0 +1,156 @@
+"""Jitted data-parallel train steps with ZeRO-2 optimizer-state sharding.
+
+Behavioral spec: /root/reference/model.py:926-949 training_step +
+get_batch_input :828-884 (VAE-encode video, conditioning, CFG dropout via
+torch.where on the text conditioning :860-868, fps cond), loss from
+ddpm3d.py p_losses; DeepSpeed ZeRO-2 grad/opt sharding (config/config.yaml:22)
+expressed as sharding specs (parallel/mesh.py zero2_opt_spec).
+
+Batch contract (the dataset-side of WorldModel.get_batch_input kwargs,
+SURVEY.md L1):
+  video        (b, T, H, W, 3) in [-1, 1]
+  cond_frames  (b, t_c, H, W, 3) in [-1, 1]  — VAE conditioning frames
+  cond_images  (b, hc, wc, 3) in [0, 1]      — CLIP image for cross-attn
+  text_tokens  (b, 77) int32                 — tokenized caption
+  fps          (b,) int32
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from open_pandora_tpu.core.config import TrainConfig
+from open_pandora_tpu.diffusion.losses import diffusion_loss
+from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
+from open_pandora_tpu.models.encoders import empty_prompt_tokens
+from open_pandora_tpu.models.vae import encode_video
+from open_pandora_tpu.parallel.mesh import (MeshSpec, data_sharding,
+                                            replicated, zero2_opt_spec)
+from open_pandora_tpu.train.optim import make_optimizer, trainable_partition
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    trainable: Any
+    frozen: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params: dict, stage: str, tx: optax.GradientTransformation):
+        trainable, frozen = trainable_partition(params, stage)
+        return cls(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                   frozen=frozen, opt_state=tx.init(trainable))
+
+    @property
+    def params(self) -> dict:
+        return {**self.trainable, **self.frozen}
+
+
+def _finetune_loss(model: DynamiCrafter, tcfg: TrainConfig, trainable, frozen,
+                   batch: Dict[str, jnp.ndarray], key: jax.Array):
+    params = {**trainable, **frozen}
+    cfg = model.cfg
+    k_enc, k_drop, k_diff, k_dropout = jax.random.split(key, 4)
+
+    # clean latents — the reference SAMPLES the posterior during training
+    # (ddpm3d.py:595-602)
+    z = encode_video(model.vae, params["vae"], batch["video"],
+                     scale_factor=cfg.diffusion.scale_factor, key=k_enc)
+
+    text_ctx = model.encode_text(params, batch["text_tokens"])
+    img_ctx = model.encode_image_context(params, batch["cond_images"])
+    z_cond = model.get_latent_z(params, batch["cond_frames"])
+
+    # CFG dropout on the text conditioning only (model.py:860-868)
+    if tcfg.uncond_prob > 0:
+        b = text_ctx.shape[0]
+        null_ctx = model.encode_text(
+            params, empty_prompt_tokens(b, cfg.clip_text.context_length))
+        mask = jax.random.bernoulli(k_drop, tcfg.uncond_prob, (b, 1, 1))
+        text_ctx = jnp.where(mask, null_ctx, text_ctx)
+
+    ctx = jnp.concatenate([text_ctx, img_ctx], axis=1)
+    fs = batch["fps"].astype(jnp.int32)
+
+    def apply(x_noisy, t, _cond):
+        return model.apply_model(params, x_noisy, t, ctx, z_cond, fs=fs,
+                                 deterministic=False,
+                                 rngs={"dropout": k_dropout})
+
+    return diffusion_loss(
+        apply, model.schedule, z, None, k_diff,
+        parameterization=cfg.diffusion.parameterization,
+        use_dynamic_rescale=cfg.diffusion.use_dynamic_rescale,
+        l_simple_weight=cfg.diffusion.l_simple_weight)
+
+
+def make_finetune_step(
+    model: DynamiCrafter,
+    tcfg: TrainConfig,
+    mesh_spec: Optional[MeshSpec] = None,
+    stage: str = "dynamicrafter",
+    loss_fn: Optional[Callable] = None,
+) -> Tuple[Callable, optax.GradientTransformation]:
+    """Build (jitted_step, tx). jitted_step(state, batch, key) ->
+    (state, metrics). With a MeshSpec: batch sharded over the data axis,
+    params replicated, optimizer state ZeRO-2-sharded; XLA inserts the
+    gradient psum (DDP semantics) and opt-state collectives.
+    """
+    tx = make_optimizer(tcfg)
+    lfn = loss_fn or functools.partial(_finetune_loss, model, tcfg)
+
+    def step(state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(
+            state.trainable, state.frozen, batch, key)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, trainable=new_trainable,
+                                  opt_state=new_opt)
+        return new_state, {**metrics, "grad_norm": gnorm}
+
+    if mesh_spec is None:
+        return jax.jit(step), tx
+
+    def shard_state(state: TrainState) -> TrainState:
+        """Device-put a TrainState with ZeRO-2 shardings applied."""
+        rep = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh_spec)), tree)
+        return TrainState(
+            step=jax.device_put(state.step, replicated(mesh_spec)),
+            trainable=rep(state.trainable),
+            frozen=rep(state.frozen),
+            opt_state=jax.tree_util.tree_map(
+                jax.device_put, state.opt_state,
+                zero2_opt_spec(mesh_spec, state.opt_state)),
+        )
+
+    def state_shardings(state: TrainState):
+        rep = lambda tree: jax.tree_util.tree_map(
+            lambda _: replicated(mesh_spec), tree)
+        return TrainState(
+            step=replicated(mesh_spec), trainable=rep(state.trainable),
+            frozen=rep(state.frozen),
+            opt_state=zero2_opt_spec(mesh_spec, state.opt_state))
+
+    def batch_shardings(batch):
+        return jax.tree_util.tree_map(
+            lambda x: data_sharding(mesh_spec, jnp.ndim(x)), batch)
+
+    def jitted(state, batch, key):
+        ss = state_shardings(state)
+        fn = jax.jit(
+            step,
+            in_shardings=(ss, batch_shardings(batch), replicated(mesh_spec)),
+            out_shardings=(ss, None),
+        )
+        return fn(state, batch, key)
+
+    jitted.shard_state = shard_state  # type: ignore[attr-defined]
+    return jitted, tx
