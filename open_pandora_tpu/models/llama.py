@@ -149,7 +149,7 @@ class LlamaForCausalLM(nn.Module):
         self.embed_tokens = nn.Embed(self.cfg.total_vocab, self.cfg.hidden_size,
                                      dtype=self.dtype, name="embed_tokens")
         self.model = LlamaTrunk(self.cfg, dtype=self.dtype, name="model")
-        self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=False,
+        self.lm_head = nn.Dense(self.cfg.total_vocab, use_bias=False,
                                 dtype=self.dtype, name="lm_head")
 
     def embed(self, token_ids: jnp.ndarray) -> jnp.ndarray:

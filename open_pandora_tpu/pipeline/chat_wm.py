@@ -1,0 +1,135 @@
+"""ChatWM — the multi-round interactive session (the reference's L6 layer).
+
+Behavioral spec: /root/reference/model.py:983-1211 (class ChatWM):
+  - round 1 (generate_video :1007): prompt `bos + "<image> " + text +
+    "[IMG_P]"*64` (:1020-1024); image preprocessed for BOTH towers
+    (process_img :1172-1177)
+  - rounds 2..5 (generate_video_next_round :1070-1092): prompt history +
+    `"<image>"*16 + text + "[IMG_P]"*64` (:1055); frame chaining via
+    process_img_from_output :1179-1187 — decoded frames cross the PIXEL
+    domain (decode -> uint8 -> re-encode), the last 4 frames become the
+    next round's VAE conditioning; the CLIP cross-attn image stays round 1's
+    (:1059)
+  - multi-round concat trims the 4-frame overlap per round
+    (process_generated_video_multi :1199-1211)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from open_pandora_tpu.models.world_model import (MultimodalPrompt, WorldModel,
+                                                 next_round_prompt,
+                                                 round1_prompt)
+from open_pandora_tpu.pipeline.preprocess import (clip_resampler_preprocess,
+                                                  clip_tower_preprocess,
+                                                  diffusion_preprocess)
+from open_pandora_tpu.pipeline.tokenizers import load_tokenizer
+from open_pandora_tpu.utils.video_io import (concat_rounds, frames_to_uint8,
+                                             write_video)
+
+
+class ChatWM:
+    def __init__(self, wm: WorldModel, params, tokenizer=None,
+                 height: int = 320, width: int = 512):
+        self.wm = wm
+        self.params = params
+        self.tokenizer = tokenizer or load_tokenizer()
+        self.hw = (height, width)
+        self.reset()
+
+    def reset(self):
+        self.prompt: Optional[MultimodalPrompt] = None
+        self.images: List[np.ndarray] = []      # CLIP-tower stack
+        self.round_videos: List[np.ndarray] = []  # uint8 (16,h,w,3) per round
+        self.cond_image = None                  # round-1 resampler image
+        self.round = 0
+
+    # -- rounds -------------------------------------------------------------
+
+    def _ids(self, text: str, add_bos: bool) -> jnp.ndarray:
+        return jnp.asarray([self.tokenizer.encode(text, add_bos=add_bos)],
+                           dtype=jnp.int32)
+
+    def generate_video(self, image: Image.Image, text: str, *,
+                       ddim_steps: int = 50, fs: int = 15,
+                       guidance_scale: float = 4.0, eta: float = 1.0,
+                       seed: int = 0, **kw) -> np.ndarray:
+        """Round 1. Returns uint8 frames (T, H, W, 3)."""
+        self.reset()
+        tower_size = self.wm.cfg.clip_tower.image_size
+        self.images = [clip_tower_preprocess(image, tower_size)]
+        self.cond_image = clip_resampler_preprocess(image)[None]  # (1,h,w,3)
+        diff_img = diffusion_preprocess(image, self.hw)
+        cond_frames = jnp.asarray(diff_img)[None, None]  # (1,1,H,W,3)
+
+        ids = self._ids(text, add_bos=True)
+        images = jnp.asarray(np.stack(self.images))[None]
+        self.prompt = round1_prompt(
+            ids, images=images,
+            prefix_len=self.wm.cfg.connector.image_prefix_length)
+        return self._run_round(cond_frames, ddim_steps, fs, guidance_scale,
+                               eta, seed, **kw)
+
+    def generate_video_next_round(self, text: str, *, ddim_steps: int = 50,
+                                  fs: int = 15, guidance_scale: float = 4.0,
+                                  eta: float = 1.0, seed: int = 0,
+                                  **kw) -> np.ndarray:
+        """Rounds 2+: chain the last decoded clip (model.py:1070-1092)."""
+        assert self.round >= 1, "call generate_video first"
+        last = self.round_videos[-1]  # uint8 (16, h, w, 3)
+        tower_size = self.wm.cfg.clip_tower.image_size
+        start = len(self.images)
+        for fr in last:
+            self.images.append(
+                clip_tower_preprocess(Image.fromarray(fr), tower_size))
+        new_indices = tuple(range(start, len(self.images)))
+        # last 4 frames -> VAE conditioning, pixel domain (model.py:1185-1186)
+        tail = last[-4:].astype(np.float32) / 127.5 - 1.0
+        cond_frames = jnp.asarray(tail)[None]  # (1, 4, H, W, 3)
+
+        images = jnp.asarray(np.stack(self.images))[None]
+        prompt = next_round_prompt(
+            self.prompt, new_indices, self._ids(text, add_bos=False),
+            prefix_len=self.wm.cfg.connector.image_prefix_length)
+        self.prompt = MultimodalPrompt(segments=prompt.segments, images=images)
+        return self._run_round(cond_frames, ddim_steps, fs, guidance_scale,
+                               eta, seed, **kw)
+
+    def _run_round(self, cond_frames, ddim_steps, fs, guidance_scale, eta,
+                   seed, **kw) -> np.ndarray:
+        z = self.wm.generate(
+            self.params, self.prompt,
+            cond_images=jnp.asarray(self.cond_image),
+            cond_frames=cond_frames,
+            key=jax.random.PRNGKey(seed + self.round),
+            ddim_steps=ddim_steps, guidance_scale=guidance_scale, eta=eta,
+            fs=fs, **kw)
+        video = self.wm.diffusion.decode(self.params, z)  # (1,T,H,W,3) [-1,1]
+        frames = frames_to_uint8(np.asarray(video[0]))
+        self.round_videos.append(frames)
+        self.round += 1
+        return frames
+
+    def generate_video_multiround(self, image: Image.Image,
+                                  texts: List[str], **kw) -> np.ndarray:
+        """model.py:1094-1129: one clip per action text, chained."""
+        self.generate_video(image, texts[0], **kw)
+        for t in texts[1:]:
+            self.generate_video_next_round(t, **kw)
+        return concat_rounds(self.round_videos)
+
+    # -- output -------------------------------------------------------------
+
+    def save_video(self, path: str, frames: Optional[np.ndarray] = None,
+                   fps: int = 8) -> str:
+        """model.py:1191-1211: h264 mp4 at save-fps 8."""
+        if frames is None:
+            frames = (concat_rounds(self.round_videos)
+                      if len(self.round_videos) > 1 else self.round_videos[-1])
+        return write_video(path, frames, fps=fps)

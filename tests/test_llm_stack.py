@@ -110,7 +110,7 @@ def test_llama_lm_head_shape():
     ids = jnp.ones((2, 5), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids)
     logits = model.apply(params, ids)
-    assert logits.shape == (2, 5, TINY_LLAMA.vocab_size)
+    assert logits.shape == (2, 5, TINY_LLAMA.total_vocab)
     # embedding covers the 3 extra multimodal tokens
     emb = model.apply(params, jnp.array([[32000, 32001, 32002]]),
                       method=LlamaForCausalLM.embed)
