@@ -391,13 +391,23 @@ class UNetModel(nn.Module):
 
         h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(self.dtype)
 
+        # gradient checkpointing over res/transformer blocks during training
+        # (reference checkpoint wrapper common.py:81-94, use_checkpoint: True)
+        use_remat = cfg.use_checkpoint and not deterministic
+        res_cls = nn.remat(ResBlock, static_argnums=(3, 4)) if use_remat \
+            else ResBlock
+        spatial_cls = nn.remat(SpatialTransformer, static_argnums=(3,)) \
+            if use_remat else SpatialTransformer
+        temporal_cls = nn.remat(TemporalTransformer, static_argnums=(2,)) \
+            if use_remat else TemporalTransformer
+
         def make_res(out_ch, name):
-            return ResBlock(out_ch=out_ch, use_temporal_conv=cfg.temporal_conv,
-                            dropout=cfg.dropout, dtype=self.dtype, name=name)
+            return res_cls(out_ch=out_ch, use_temporal_conv=cfg.temporal_conv,
+                           dropout=cfg.dropout, dtype=self.dtype, name=name)
 
         def make_spatial(ch, name):
             heads = ch // cfg.num_head_channels
-            return SpatialTransformer(
+            return spatial_cls(
                 heads=heads, dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth, context_dim=cfg.context_dim,
                 image_cross_attention=cfg.image_cross_attention,
@@ -407,7 +417,7 @@ class UNetModel(nn.Module):
 
         def make_temporal(ch, name, heads=None):
             heads = heads if heads is not None else ch // cfg.num_head_channels
-            return TemporalTransformer(
+            return temporal_cls(
                 heads=heads, dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth, causal=cfg.use_causal_attention,
                 dropout=cfg.dropout, dtype=self.dtype, name=name)

@@ -57,6 +57,25 @@ class LlamaTokenizerAdapter:
         return ([self.tok.bos_token_id] + ids) if add_bos else ids
 
 
+CLIP_SOT = 49406
+CLIP_EOT = 49407
+
+
+def clip_fallback_encode(text: str, context_length: int = 77) -> List[int]:
+    """Deterministic fallback for the OpenCLIP BPE (real vocab file is an
+    external asset): [SOT, hashed word ids, EOT, 0 pad] — the layout
+    open_clip.tokenize produces."""
+    ids = [CLIP_SOT]
+    for word in text.strip().split():
+        if len(ids) >= context_length - 1:
+            break
+        h = int(hashlib.md5(word.lower().encode()).hexdigest(), 16)
+        ids.append(1000 + h % 48000)
+    ids.append(CLIP_EOT)
+    ids += [0] * (context_length - len(ids))
+    return ids[:context_length]
+
+
 def load_tokenizer(path: Optional[str] = None):
     """Local tokenizer if a path is given and loadable, else the fallback."""
     if path:

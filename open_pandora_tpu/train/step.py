@@ -90,6 +90,86 @@ def _finetune_loss(model: DynamiCrafter, tcfg: TrainConfig, trainable, frozen,
         l_simple_weight=cfg.diffusion.l_simple_weight)
 
 
+def make_wm_finetune_step(wm, tcfg: TrainConfig,
+                          mesh_spec: Optional[MeshSpec] = None):
+    """Full finetune stage (model.py:926-949 + get_batch_input :828-884):
+    conditioning comes from the frozen-LLM path (get_diffusion_conditioning
+    per step, :855-856), trains UNet + connector; CFG dropout swaps the LLM
+    conditioning for the OpenCLIP null prompt (:860-868)."""
+    from open_pandora_tpu.models.encoders import (CLIP_MEAN, CLIP_STD,
+                                                  empty_prompt_tokens)
+    from open_pandora_tpu.models.world_model import round1_prompt
+
+    model = wm.diffusion
+
+    def loss_fn(trainable, frozen, batch, key):
+        params = {**trainable, **frozen}
+        cfg = wm.cfg
+        k_enc, k_drop, k_diff, k_dropout = jax.random.split(key, 4)
+
+        z = encode_video(model.vae, params["vae"], batch["video"],
+                         scale_factor=cfg.diffusion.scale_factor, key=k_enc)
+
+        imgs = batch["cond_images"]
+        tower_imgs = (imgs - jnp.asarray(CLIP_MEAN, imgs.dtype)) / jnp.asarray(
+            CLIP_STD, imgs.dtype)
+        prompt = round1_prompt(
+            batch["llm_text_tokens"], images=tower_imgs[:, None],
+            prefix_len=cfg.connector.image_prefix_length)
+        text_ctx = wm.get_diffusion_conditioning(params, prompt)[:, -1]
+
+        if tcfg.uncond_prob > 0:
+            b = text_ctx.shape[0]
+            null_ctx = model.encode_text(
+                params, empty_prompt_tokens(b, cfg.clip_text.context_length))
+            mask = jax.random.bernoulli(k_drop, tcfg.uncond_prob, (b, 1, 1))
+            text_ctx = jnp.where(mask, null_ctx, text_ctx)
+
+        img_ctx = model.encode_image_context(params, batch["cond_images"])
+        z_cond = model.get_latent_z(params, batch["cond_frames"])
+        ctx = jnp.concatenate([text_ctx, img_ctx], axis=1)
+        fs = batch["fps"].astype(jnp.int32)
+
+        def apply(x_noisy, t, _cond):
+            return model.apply_model(params, x_noisy, t, ctx, z_cond, fs=fs,
+                                     deterministic=False,
+                                     rngs={"dropout": k_dropout})
+
+        return diffusion_loss(
+            apply, model.schedule, z, None, k_diff,
+            parameterization=cfg.diffusion.parameterization,
+            use_dynamic_rescale=cfg.diffusion.use_dynamic_rescale,
+            l_simple_weight=cfg.diffusion.l_simple_weight)
+
+    return make_finetune_step(model, tcfg, mesh_spec=mesh_spec,
+                              stage="finetune", loss_fn=loss_fn)
+
+
+def make_alignment_step(wm, tcfg: TrainConfig,
+                        mesh_spec: Optional[MeshSpec] = None):
+    """Alignment stage (model.py:886-923 + config_align.yaml): trains the
+    connector only, KL against the frozen OpenCLIP text embedding.
+
+    Batch contract: cond_images (b,224,224,3) in [0,1], llm_text_tokens
+    (b, L) LLaMA ids (bos + caption), text_tokens (b, 77) CLIP ids."""
+    from open_pandora_tpu.models.encoders import CLIP_MEAN, CLIP_STD
+    from open_pandora_tpu.models.world_model import round1_prompt
+
+    def loss_fn(trainable, frozen, batch, key):
+        params = {**trainable, **frozen}
+        imgs = batch["cond_images"]
+        imgs = (imgs - jnp.asarray(CLIP_MEAN, imgs.dtype)) / jnp.asarray(
+            CLIP_STD, imgs.dtype)
+        prompt = round1_prompt(
+            batch["llm_text_tokens"], images=imgs[:, None],
+            prefix_len=wm.cfg.connector.image_prefix_length)
+        loss = wm.alignment_loss(params, prompt, batch["text_tokens"])
+        return loss, {"loss": loss}
+
+    return make_finetune_step(wm.diffusion, tcfg, mesh_spec=mesh_spec,
+                              stage="alignment", loss_fn=loss_fn)
+
+
 def make_finetune_step(
     model: DynamiCrafter,
     tcfg: TrainConfig,

@@ -1,0 +1,107 @@
+"""LLM decode + eval/tools surfaces: KV-cache greedy generation parity with
+full-recompute argmax, QA runner, converter CLI, profiling utils."""
+
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_pandora_tpu.models.llama import LlamaForCausalLM
+from open_pandora_tpu.models.llama_generate import greedy_generate
+from tests.test_llm_stack import TINY_LLAMA
+
+ENV = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+       "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+
+
+def test_greedy_generate_matches_naive():
+    """KV-cache decode must equal naive full-recompute greedy decode."""
+    model = LlamaForCausalLM(TINY_LLAMA)
+    ids = jnp.asarray([[1, 5, 9, 4]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    embeds = model.apply(params, ids, method=LlamaForCausalLM.embed)
+
+    n_new = 5
+    out = greedy_generate(model, params, embeds, max_new_tokens=n_new,
+                          eos_token_id=-1)
+    assert out.shape == (1, n_new)
+
+    # naive: recompute full logits each step
+    cur = list(np.asarray(ids[0]))
+    naive = []
+    for _ in range(n_new):
+        logits = model.apply(params, jnp.asarray([cur], jnp.int32))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        naive.append(nxt)
+        cur.append(nxt)
+    assert [int(t) for t in np.asarray(out[0])] == naive
+
+
+def test_greedy_generate_eos_stops():
+    model = LlamaForCausalLM(TINY_LLAMA)
+    ids = jnp.asarray([[1, 5]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    embeds = model.apply(params, ids, method=LlamaForCausalLM.embed)
+    logits = model.apply(params, ids)
+    first = int(jnp.argmax(logits[0, -1]))
+    out = greedy_generate(model, params, embeds, max_new_tokens=4,
+                          eos_token_id=first)
+    toks = [int(t) for t in np.asarray(out[0])]
+    assert toks[0] == first and all(t == first for t in toks[1:])
+
+
+def test_qa_runner_debug(tmp_path):
+    qfile = tmp_path / "q.jsonl"
+    qfile.write_text(json.dumps({"id": 1, "text": "what is this"}) + "\n")
+    out = tmp_path / "ans.jsonl"
+    r = subprocess.run(
+        [sys.executable, "-m", "open_pandora_tpu.eval.chatunivi_qa",
+         "--questions", str(qfile), "--out", str(out),
+         "--max-new-tokens", "3", "--debug"],
+        capture_output=True, text=True, timeout=900, env=ENV, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(out.read_text().strip())
+    assert rec["id"] == 1 and "answer" in rec
+
+
+def test_get_chunk():
+    from open_pandora_tpu.eval.chatunivi_qa import get_chunk
+    items = list(range(10))
+    chunks = [get_chunk(items, 3, i) for i in range(3)]
+    assert sum(chunks, []) == items
+
+
+def test_profiling_utils():
+    from open_pandora_tpu.utils.profiling import StepTimer, count_params, sync
+    t = StepTimer(warmup=0)
+    x = jnp.ones((4, 4))
+    t.tick()
+    t.tick(x)
+    s = t.summary()
+    assert s["n"] == 1 and s["mean_s"] >= 0
+    assert count_params({"a": np.zeros((2, 3)), "b": np.zeros(5)}) == 11
+    sync({"x": x})  # no crash
+
+
+def test_convert_ckpt_cli_dry_run(tmp_path):
+    """Converter CLI on a synthetic PL-dialect DynamiCrafter checkpoint —
+    only the VAE family present (partial checkpoints are a real use case:
+    the reference loads with ignore_mismatched_sizes)."""
+    import torch
+    from open_pandora_tpu.core.config import VAEConfig
+    # build a full flat VAE state dict by instantiating our converter target
+    # shapes from a torch-side key walk is overkill here; instead check the
+    # CLI reports a clean error for a missing-key checkpoint
+    ckpt = tmp_path / "part.ckpt"
+    torch.save({"state_dict": {"_forward_module.foo.weight":
+                               torch.zeros(2, 2)}}, ckpt)
+    r = subprocess.run(
+        [sys.executable, "-m", "open_pandora_tpu.tools.convert_ckpt",
+         "--src", str(ckpt), "--dst", str(tmp_path / "out"),
+         "--family", "dynamicrafter", "--dry-run"],
+        capture_output=True, text=True, timeout=300, env=ENV, cwd="/root/repo")
+    assert r.returncode != 0
+    assert "KeyError" in r.stderr or "loaded 1 torch tensors" in r.stdout
