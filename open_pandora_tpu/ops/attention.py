@@ -27,6 +27,11 @@ _FLASH_MIN_KV = 256
 
 
 def _on_tpu() -> bool:
+    # the axon platform registers TPU devices even when a CPU default device
+    # is pinned (tests) — honor the default-device override first
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform == "tpu"
     try:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:

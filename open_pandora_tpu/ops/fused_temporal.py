@@ -1,0 +1,116 @@
+"""Fused temporal self-attention block: LayerNorm + QKV projection +
+block-diagonal packed t=16 attention + output projection + residual add,
+in ONE Pallas kernel.
+
+Why: the UNet3D's temporal transformer sites are memory-bound — each XLA op
+(LN, q/k/v GEMMs, tiny t x t attention, out GEMM) re-reads the ~100 MB
+activation from HBM, and the 16x16x64 attention matmuls run at <1% MXU.
+Measured on v5e at the level-0 shape (81920 tokens, c=320): ~5 ms for the
+XLA chain vs ~0.7 ms roofline. This kernel reads the residual stream once,
+keeps the (c, inner) weights resident in VMEM (constant index_map), packs
+G positions' t-token attentions into full MXU tiles with a block-diagonal
+mask, and writes `y + Wo @ attn` once.
+
+Scope: inference fast path for c == inner <= 640 (weights must fit VMEM);
+training and larger channels use the XLA twin in models/unet3d.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(y_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, g_ref, b_ref,
+            o_ref, *, t: int, heads: int, dh: int, sm_scale: float,
+            eps: float):
+    y = y_ref[0]  # (G*t, c)
+    n, c = y.shape
+
+    # LayerNorm (fp32 stats)
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=1, keepdims=True)
+    xn = ((yf - mu) / jnp.sqrt(var + eps)) * g_ref[0].astype(jnp.float32) \
+        + b_ref[0].astype(jnp.float32)
+    xn = xn.astype(y.dtype)
+
+    q = jax.lax.dot(xn, wq_ref[...], preferred_element_type=jnp.float32)
+    k = jax.lax.dot(xn, wk_ref[...], preferred_element_type=jnp.float32)
+    v = jax.lax.dot(xn, wv_ref[...], preferred_element_type=jnp.float32)
+    q = q.astype(y.dtype)
+    k = k.astype(y.dtype)
+    v = v.astype(y.dtype)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mask = (row // t) == (col // t)
+
+    outs = []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(mask, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        outs.append(jax.lax.dot(p.astype(v.dtype), v[:, sl],
+                                preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=1).astype(y.dtype)
+    out = jax.lax.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
+    out = out + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (y.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def fused_temporal_self_attention(
+    y: jnp.ndarray,          # (B, t, c) residual stream (B = b*h*w)
+    wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray,  # (c, inner)
+    wo: jnp.ndarray, bo: jnp.ndarray,                   # (inner, c), (c,)
+    ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,        # (c,)
+    *, heads: int, eps: float = 1e-5, group: int = 32,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Returns y + to_out(attn(LN(y))) with self-attention over the t axis.
+    Requires c == inner (true for all UNet temporal sites except init_attn's
+    512-wide inner — callers check)."""
+    B, t, c = y.shape
+    inner = wq.shape[1]
+    dh = inner // heads
+    scale = sm_scale if sm_scale is not None else dh ** -0.5
+
+    G = group
+    n_pad = (-B) % G
+    yp = jnp.pad(y, ((0, n_pad), (0, 0), (0, 0))) if n_pad else y
+    n_groups = (B + n_pad) // G
+    yg = yp.reshape(n_groups, G * t, c)
+
+    const = lambda i: (0, 0)
+    const1 = lambda i: (0,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, t=t, heads=heads, dh=dh,
+                          sm_scale=float(scale), eps=eps),
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, G * t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, inner), const),
+            pl.BlockSpec((c, inner), const),
+            pl.BlockSpec((c, inner), const),
+            pl.BlockSpec((inner, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+        ],
+        out_specs=pl.BlockSpec((1, G * t, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(yg.shape, y.dtype),
+    )(yg, wq, wk, wv, wo, bo[None], ln_scale[None], ln_bias[None])
+
+    out = out.reshape(-1, t, c)
+    return out[:B] if n_pad else out

@@ -1,0 +1,93 @@
+"""Parity tests (interpreter mode) for the packed small-sequence attention
+and the fused temporal block kernel vs the XLA oracle chain."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import open_pandora_tpu.ops.fused_temporal as ft
+import open_pandora_tpu.ops.small_attention as sa
+from open_pandora_tpu.ops.attention_xla import mha_xla
+from open_pandora_tpu.ops.norms import layer_norm
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(ft.pl, "pallas_call",
+                        functools.partial(ft.pl.pallas_call, interpret=True))
+    monkeypatch.setattr(sa.pl, "pallas_call",
+                        functools.partial(sa.pl.pallas_call, interpret=True))
+
+
+@pytest.mark.parametrize("B,t,H,D,G", [(24, 4, 2, 16, 8), (17, 4, 2, 16, 8)])
+def test_small_self_attention_parity(B, t, H, D, G):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, t, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, t, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, t, H, D))
+    out = sa.small_self_attention(q.reshape(B, t, H * D),
+                                  k.reshape(B, t, H * D),
+                                  v.reshape(B, t, H * D), heads=H, group=G)
+    ref = mha_xla(q, k, v).reshape(B, t, H * D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_small_self_attention_causal():
+    B, t, H, D = 16, 4, 1, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, t, H, D))
+    out = sa.small_self_attention(q.reshape(B, t, D), q.reshape(B, t, D),
+                                  q.reshape(B, t, D), heads=1, group=8,
+                                  causal=True)
+    ref = mha_xla(q, q, q, causal=True).reshape(B, t, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_temporal_block_parity():
+    B, t, c, heads = 20, 4, 32, 2
+    dh = c // heads
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (B, t, c))
+    ks = jax.random.split(key, 8)
+    wq, wk, wv = (jax.random.normal(k, (c, c)) * 0.1 for k in ks[:3])
+    wo = jax.random.normal(ks[3], (c, c)) * 0.1
+    bo = jax.random.normal(ks[4], (c,)) * 0.1
+    g = jax.random.normal(ks[5], (c,)) * 0.2 + 1.0
+    b = jax.random.normal(ks[6], (c,)) * 0.1
+
+    out = ft.fused_temporal_self_attention(y, wq, wk, wv, wo, bo, g, b,
+                                           heads=heads, group=8)
+    xn = layer_norm(y, g, b, eps=1e-5)
+    q = (xn @ wq).reshape(B, t, heads, dh)
+    k = (xn @ wk).reshape(B, t, heads, dh)
+    v = (xn @ wv).reshape(B, t, heads, dh)
+    ref = y + (mha_xla(q, k, v).reshape(B, t, heads * dh) @ wo + bo)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_fused_temporal_inner_ne_c():
+    """init_attn case: inner (heads*dh) != c."""
+    B, t, c, heads, dh = 12, 4, 16, 2, 16
+    inner = heads * dh
+    key = jax.random.PRNGKey(3)
+    y = jax.random.normal(key, (B, t, c))
+    ks = jax.random.split(key, 6)
+    wq, wk, wv = (jax.random.normal(k, (c, inner)) * 0.1 for k in ks[:3])
+    wo = jax.random.normal(ks[3], (inner, c)) * 0.1
+    bo = jnp.zeros((c,))
+    g = jnp.ones((c,))
+    b = jnp.zeros((c,))
+    out = ft.fused_temporal_self_attention(y, wq, wk, wv, wo, bo, g, b,
+                                           heads=heads, group=4)
+    xn = layer_norm(y, g, b, eps=1e-5)
+    q = (xn @ wq).reshape(B, t, heads, dh)
+    k = (xn @ wk).reshape(B, t, heads, dh)
+    v = (xn @ wv).reshape(B, t, heads, dh)
+    ref = y + (mha_xla(q, k, v).reshape(B, t, inner) @ wo + bo)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
