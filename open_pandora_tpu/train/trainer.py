@@ -76,6 +76,9 @@ def build_parser():
     p.add_argument("--meta-path", default=None)
     p.add_argument("--data-dir", default=None)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="every N steps, decode a sample clip to a PNG grid "
+                        "(the reference's ImageLogger, utils/callbacks.py:15)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (smoke mode)")
     return p
@@ -214,6 +217,24 @@ def main(argv=None):
                 if jax.process_index() == 0:
                     with open(metrics_path, "a") as f:
                         f.write(json.dumps(rec) + "\n")
+            if (args.sample_every and step_i % args.sample_every == 0
+                    and jax.process_index() == 0 and stage != "alignment"):
+                from open_pandora_tpu.models.encoders import empty_prompt_tokens
+                from open_pandora_tpu.utils.image_grid import save_sample_grid
+                sp = {**state.trainable, **state.frozen}
+                text_ctx = model.encode_text(sp, empty_prompt_tokens(
+                    1, cfg.clip_text.context_length))
+                z = model.image_guided_synthesis(
+                    sp, text_context=text_ctx,
+                    cond_images=jnp.asarray(batch["cond_images"][:1]),
+                    cond_frames=jnp.asarray(batch["cond_frames"][:1]),
+                    key=jax.random.PRNGKey(0), ddim_steps=10,
+                    guidance_scale=cfg.sampler.guidance_scale)
+                vid = model.decode(sp, z)
+                p = save_sample_grid(
+                    os.path.join(ws["loginfo"], f"sample_step{step_i}.png"),
+                    np.asarray(vid))
+                log.info("sample grid -> %s", p)
             if step_i % tcfg.ckpt_every == 0 and jax.process_index() == 0:
                 save_params(ws["checkpoints"], jax.device_get(state.trainable),
                             step=step_i)
