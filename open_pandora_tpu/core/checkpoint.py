@@ -84,7 +84,9 @@ def restore_params(path: str, like: Any = None) -> Any:
 def load_params(path: str, wm, *, height: int = 320, width: int = 512):
     """CLI loader: Orbax dir -> restore; torch file/HF dir -> convert.
 
-    `wm` is a WorldModel (used for config + to build the target structure)."""
+    `wm` is a WorldModel (used for config + to build the target structure).
+    When wm.quantize_llm is set, the converted LLaMA subtree is int8
+    weight-only quantized (models/quant.py) so the composite fits one chip."""
     from open_pandora_tpu.core.convert import convert_world_model
 
     if os.path.isdir(path) and any(
@@ -96,4 +98,8 @@ def load_params(path: str, wm, *, height: int = 320, width: int = 512):
             pass
     flat = load_torch_flat(path)
     params = convert_world_model(flat, wm.cfg)
+    if getattr(wm, "quantize_llm", False):
+        from open_pandora_tpu.models.quant import quantize_llama_params
+
+        params["llama"] = quantize_llama_params(params["llama"])
     return jax.tree_util.tree_map(lambda x: jax.numpy.asarray(x), params)

@@ -39,6 +39,7 @@ def build_parser():
     p.add_argument("--end-id", type=int, default=int(1e9))
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
+    p.add_argument("--quantize-llm", action="store_true")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -107,7 +108,8 @@ def _build_chat(args):
         height, width = args.height, args.width
         dtype = jnp.bfloat16
 
-    wm = WorldModel(cfg, dtype=dtype)
+    wm = WorldModel(cfg, dtype=dtype,
+                    quantize_llm=getattr(args, "quantize_llm", False))
     if args.ckpt:
         from open_pandora_tpu.core.checkpoint import load_params
         params = load_params(args.ckpt, wm, height=height, width=width)

@@ -60,53 +60,81 @@ def rotary_embed(x: jnp.ndarray, positions: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+class Int8Dense(nn.Module):
+    """Weight-only int8 projection (frozen-LLM deployment; models/quant.py).
+    Params: kernel_q (in, out) int8 + scale (out,) fp32; dequant fused into
+    the matmul read by XLA."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (x.shape[-1], self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        w = (kq.astype(jnp.float32) * scale).astype(self.dtype)
+        return x @ w
+
+
+def _proj(features, quantized, dtype, name):
+    if quantized:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
+
+
 class LlamaAttention(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, positions, mask=None):
         cfg = self.cfg
         b, n, _ = x.shape
         h, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
-        q = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                     name="q_proj")(x).reshape(b, n, h, dh)
-        k = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                     name="k_proj")(x).reshape(b, n, h, dh)
-        v = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                     name="v_proj")(x).reshape(b, n, h, dh)
+        q = _proj(cfg.hidden_size, self.quantized, self.dtype,
+                  "q_proj")(x).reshape(b, n, h, dh)
+        k = _proj(cfg.hidden_size, self.quantized, self.dtype,
+                  "k_proj")(x).reshape(b, n, h, dh)
+        v = _proj(cfg.hidden_size, self.quantized, self.dtype,
+                  "v_proj")(x).reshape(b, n, h, dh)
         q = rotary_embed(q, positions, cfg.rope_theta)
         k = rotary_embed(k, positions, cfg.rope_theta)
         o = attention(q, k, v, causal=True, mask=mask).reshape(b, n, -1)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="o_proj")(o)
+        return _proj(cfg.hidden_size, self.quantized, self.dtype, "o_proj")(o)
 
 
 class LlamaMLP(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                      dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(jax.nn.silu(gate) * up)
+        gate = _proj(cfg.intermediate_size, self.quantized, self.dtype,
+                     "gate_proj")(x)
+        up = _proj(cfg.intermediate_size, self.quantized, self.dtype,
+                   "up_proj")(x)
+        return _proj(cfg.hidden_size, self.quantized, self.dtype,
+                     "down_proj")(jax.nn.silu(gate) * up)
 
 
 class LlamaLayer(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, positions, mask=None):
-        x = x + LlamaAttention(self.cfg, dtype=self.dtype, name="self_attn")(
+        x = x + LlamaAttention(self.cfg, dtype=self.dtype,
+                               quantized=self.quantized, name="self_attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
             positions, mask)
-        x = x + LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(
+        x = x + LlamaMLP(self.cfg, dtype=self.dtype,
+                         quantized=self.quantized, name="mlp")(
             RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x))
         return x
 
@@ -117,6 +145,7 @@ class LlamaTrunk(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray,
@@ -133,8 +162,8 @@ class LlamaTrunk(nn.Module):
         x = inputs_embeds.astype(self.dtype)
         layer_cls = nn.remat(LlamaLayer) if self.remat else LlamaLayer
         for i in range(cfg.num_layers):
-            x = layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}")(
-                x, positions, mask)
+            x = layer_cls(cfg, dtype=self.dtype, quantized=self.quantized,
+                          name=f"layers_{i}")(x, positions, mask)
         return RMSNorm(cfg.rms_norm_eps, name="norm")(x)
 
 
@@ -144,13 +173,15 @@ class LlamaForCausalLM(nn.Module):
 
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         self.embed_tokens = nn.Embed(self.cfg.total_vocab, self.cfg.hidden_size,
                                      dtype=self.dtype, name="embed_tokens")
-        self.model = LlamaTrunk(self.cfg, dtype=self.dtype, name="model")
-        self.lm_head = nn.Dense(self.cfg.total_vocab, use_bias=False,
-                                dtype=self.dtype, name="lm_head")
+        self.model = LlamaTrunk(self.cfg, dtype=self.dtype,
+                                quantized=self.quantized, name="model")
+        self.lm_head = _proj(self.cfg.total_vocab, self.quantized,
+                             self.dtype, "lm_head")
 
     def embed(self, token_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(token_ids)

@@ -93,11 +93,16 @@ class WorldModel:
     {**DynamiCrafter params, 'llama', 'clip_tower', 'mm_projector',
      'connector'}."""
 
-    def __init__(self, cfg: PandoraConfig, dtype=jnp.float32):
+    def __init__(self, cfg: PandoraConfig, dtype=jnp.float32,
+                 quantize_llm: bool = False):
+        """quantize_llm: weight-only int8 LLaMA (models/quant.py) — fits the
+        full composite on one 16 GB chip (bf16 needs ~19 GB)."""
         self.cfg = cfg
         self.dtype = dtype
+        self.quantize_llm = quantize_llm
         self.diffusion = DynamiCrafter(cfg, dtype=dtype)
-        self.llama = LlamaForCausalLM(cfg.llama, dtype=dtype)
+        self.llama = LlamaForCausalLM(cfg.llama, dtype=dtype,
+                                      quantized=quantize_llm)
         self.clip_tower = CLIPVisionTower(cfg.clip_tower, dtype=dtype)
         self.mm_projector = MMProjector(cfg.llama.hidden_size, dtype=dtype)
         self.connector = Connector(cfg.connector, cfg.qformer, dtype=dtype)

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--quantize-llm", action="store_true",
+                   help="int8 weight-only LLaMA (fits the full model on one "
+                        "16GB chip)")
     p.add_argument("--debug", action="store_true",
                    help="tiny config + random weights smoke mode")
     return p
@@ -75,7 +78,8 @@ def main(argv=None):
 
     print(f"[cli] building WorldModel ({'debug-tiny' if args.debug else 'full'})",
           flush=True)
-    wm = WorldModel(cfg, dtype=dtype)
+    wm = WorldModel(cfg, dtype=dtype,
+                    quantize_llm=getattr(args, "quantize_llm", False))
     if args.ckpt:
         from open_pandora_tpu.core.checkpoint import load_params
         params = load_params(args.ckpt, wm, height=height, width=width)
