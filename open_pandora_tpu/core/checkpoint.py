@@ -102,4 +102,15 @@ def load_params(path: str, wm, *, height: int = 320, width: int = 512):
         from open_pandora_tpu.models.quant import quantize_llama_params
 
         params["llama"] = quantize_llama_params(params["llama"])
-    return jax.tree_util.tree_map(lambda x: jax.numpy.asarray(x), params)
+    dtype = getattr(wm, "dtype", None)
+
+    def put(x):
+        x = np.asarray(x)
+        # big float tensors to the compute dtype; 1-D leaves (norm scales,
+        # int8 quantization scales) stay fp32 for accuracy
+        if dtype is not None and x.ndim >= 2 and x.dtype in (np.float32,
+                                                             np.float64):
+            return jax.numpy.asarray(x, dtype=dtype)
+        return jax.numpy.asarray(x)
+
+    return jax.tree_util.tree_map(put, params)

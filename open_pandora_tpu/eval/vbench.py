@@ -114,8 +114,10 @@ def _build_chat(args):
         from open_pandora_tpu.core.checkpoint import load_params
         params = load_params(args.ckpt, wm, height=height, width=width)
     else:
-        params = wm.init_params(jax.random.PRNGKey(0), height=height,
-                                width=width)
+        params = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+            wm.init_params(jax.random.PRNGKey(0), height=height,
+                           width=width)))()
     return ChatWM(wm, params, tokenizer=load_tokenizer(args.tokenizer),
                   height=height, width=width)
 

@@ -33,6 +33,9 @@ def _p(params, *path):
 
 
 def _dense(x, leaf):
+    if "kernel_q" in leaf:  # int8 weight-only layout (models/quant.py)
+        w = (leaf["kernel_q"].astype(jnp.float32) * leaf["scale"]).astype(x.dtype)
+        return x @ w
     return x @ leaf["kernel"]
 
 
@@ -130,7 +133,7 @@ def greedy_generate(
     embed = _p(params, "embed_tokens")["embedding"]
     mp = _p(params, "model")
 
-    first_logits = last_hidden @ lm_head["kernel"]
+    first_logits = _dense(last_hidden, lm_head)
     first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
 
     def step(carry, i):
@@ -144,7 +147,7 @@ def greedy_generate(
                                     cache[lk]["k"], cache[lk]["v"], max_len)
             new_cache[lk] = {"k": ck, "v": cv}
         hnorm = rms_norm(x[:, 0], mp["norm"]["scale"], eps=cfg.rms_norm_eps)
-        logits = hnorm @ lm_head["kernel"]
+        logits = _dense(hnorm, lm_head)
         if temperature > 0.0 and key is not None:
             nk = jax.random.fold_in(key, i)
             nxt = jax.random.categorical(nk, logits / temperature, axis=-1)

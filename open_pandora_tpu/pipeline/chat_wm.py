@@ -103,6 +103,9 @@ class ChatWM:
 
     def _run_round(self, cond_frames, ddim_steps, fs, guidance_scale, eta,
                    seed, **kw) -> np.ndarray:
+        import time
+
+        t0 = time.perf_counter()
         z = self.wm.generate(
             self.params, self.prompt,
             cond_images=jnp.asarray(self.cond_image),
@@ -110,8 +113,14 @@ class ChatWM:
             key=jax.random.PRNGKey(seed + self.round),
             ddim_steps=ddim_steps, guidance_scale=guidance_scale, eta=eta,
             fs=fs, **kw)
+        np.asarray(z[0, 0, 0, 0])  # host fetch = true sync
+        t1 = time.perf_counter()
         video = self.wm.diffusion.decode(self.params, z)  # (1,T,H,W,3) [-1,1]
         frames = frames_to_uint8(np.asarray(video[0]))
+        t2 = time.perf_counter()
+        print(f"[chatwm] round {self.round}: conditioning+sampling "
+              f"{t1 - t0:.1f}s, decode {t2 - t1:.1f}s "
+              f"(incl. compile on first round)", flush=True)
         self.round_videos.append(frames)
         self.round += 1
         return frames

@@ -85,8 +85,10 @@ def main(argv=None):
         params = load_params(args.ckpt, wm, height=height, width=width)
     else:
         print("[cli] NO CHECKPOINT — random weights (smoke mode)", flush=True)
-        params = wm.init_params(jax.random.PRNGKey(0), height=height,
-                                width=width)
+        params = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+            wm.init_params(jax.random.PRNGKey(0), height=height,
+                           width=width)))()
 
     chat = ChatWM(wm, params, tokenizer=load_tokenizer(args.tokenizer),
                   height=height, width=width)
