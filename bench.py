@@ -26,6 +26,8 @@ DDIM_STEPS = 50
 
 
 def main():
+    from open_pandora_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     import __graft_entry__ as ge
 
     fn, args = ge.entry()

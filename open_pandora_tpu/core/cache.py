@@ -1,0 +1,22 @@
+"""Persistent XLA compilation cache.
+
+First compiles through the axon tunnel take minutes (full UNet ~2-5 min);
+the JAX persistent cache cuts warm-process compiles ~4x (measured: VAE
+decode 305s -> 73s). Enabled by every CLI entrypoint; override the location
+with PANDORA_CACHE_DIR, disable with PANDORA_CACHE_DIR=off.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(default_dir: str = "/root/jax_cache") -> None:
+    path = os.environ.get("PANDORA_CACHE_DIR", default_dir)
+    if path.lower() in ("off", "none", ""):
+        return
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -46,6 +46,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from open_pandora_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     import jax
     from PIL import Image

@@ -87,6 +87,8 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from open_pandora_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
