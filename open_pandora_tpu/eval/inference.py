@@ -46,6 +46,8 @@ def build_parser():
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--ugs", type=float, default=7.5)
     p.add_argument("--guidance-rescale", type=float, default=0.7)
+    p.add_argument("--cfg-img", type=float, default=None,
+                   help="3-way CFG image guidance (multicond sampler)")
     p.add_argument("--eta", type=float, default=1.0)
     p.add_argument("--fs", type=int, default=3, help="frame stride cond")
     p.add_argument("--height", type=int, default=320)
@@ -123,7 +125,7 @@ def main(argv=None):
                 cond_frames=cond_frames,
                 key=jax.random.PRNGKey(args.seed + s),
                 ddim_steps=args.ddim_steps, guidance_scale=args.ugs,
-                eta=args.eta, fs=args.fs,
+                eta=args.eta, fs=args.fs, cfg_img=args.cfg_img,
                 guidance_rescale=args.guidance_rescale)
             video = model.decode(params, z)
             frames = frames_to_uint8(np.asarray(video[0]))

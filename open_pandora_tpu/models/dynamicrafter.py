@@ -135,8 +135,13 @@ class DynamiCrafter:
         guidance_rescale: float = 0.0,
         timestep_spacing: str = "uniform_trailing",
         uncond_text_context: Optional[jnp.ndarray] = None,
+        cfg_img: Optional[float] = None,
     ) -> jnp.ndarray:
-        """model.py:703-781. Returns latents (b, T, h/8, w/8, 4)."""
+        """model.py:703-781. Returns latents (b, T, h/8, w/8, 4).
+
+        cfg_img enables 3-way CFG (ddim_multiplecond.py:210-234 +
+        inference.py:196-202): the extra stream is uncond text + COND image
+        embedding."""
         cfg = self.cfg
         b = text_context.shape[0]
         T = cfg.unet.temporal_length
@@ -145,6 +150,7 @@ class DynamiCrafter:
         z_cond = self.get_latent_z(params, cond_frames)
         cond_ctx = jnp.concatenate([text_context, img_ctx], axis=1)
 
+        uncond_ctx = uncond_img_ctx = None
         if guidance_scale != 1.0:
             if uncond_text_context is None:
                 uncond_text_context = self.encode_text(
@@ -154,8 +160,9 @@ class DynamiCrafter:
                 params, jnp.zeros_like(cond_images))
             uncond_ctx = jnp.concatenate([uncond_text_context, uc_img_ctx],
                                          axis=1)
-        else:
-            uncond_ctx = None
+            if cfg_img is not None and cfg_img != 1.0:
+                uncond_img_ctx = jnp.concatenate(
+                    [uncond_text_context, img_ctx], axis=1)
 
         fs_arr = jnp.full((b,), fs, dtype=jnp.int32)
 
@@ -170,7 +177,8 @@ class DynamiCrafter:
         # context is the only stream-dependent leaf; concat_cond/fs repeat
         model_fn = make_cfg_model_fn(
             lambda x, t, ctx: apply(x, t, ctx),
-            cond_ctx, uncond_ctx, batched_cfg=cfg.sampler.batched_cfg)
+            cond_ctx, uncond_ctx, uncond_img=uncond_img_ctx,
+            batched_cfg=cfg.sampler.batched_cfg)
 
         dd = make_ddim_schedule(
             self.schedule, ddim_steps, eta, timestep_spacing,
@@ -183,6 +191,7 @@ class DynamiCrafter:
         return ddim_sample(
             model_fn, dd, x_T, k_samp,
             guidance_scale=guidance_scale,
+            cfg_img=cfg_img if uncond_img_ctx is not None else None,
             guidance_rescale=guidance_rescale,
             parameterization=cfg.diffusion.parameterization)
 

@@ -77,6 +77,25 @@ class MultimodalPrompt:
     images: Any  # (b, n_images, 224, 224, 3)
 
 
+# pytree registrations: array leaves (ids/images) traced, layout static —
+# prompts can cross jit boundaries (e.g. inside train steps)
+jax.tree_util.register_pytree_node(
+    TokenSegment, lambda s: ((s.ids,), None),
+    lambda _, c: TokenSegment(c[0]))
+jax.tree_util.register_pytree_node(
+    ImageSegment, lambda s: ((), s.index),
+    lambda aux, _: ImageSegment(aux))
+jax.tree_util.register_pytree_node(
+    VideoSegment, lambda s: ((), s.indices),
+    lambda aux, _: VideoSegment(aux))
+jax.tree_util.register_pytree_node(
+    PrefixSegment, lambda s: ((), s.length),
+    lambda aux, _: PrefixSegment(aux))
+jax.tree_util.register_pytree_node(
+    MultimodalPrompt, lambda p: ((p.segments, p.images), None),
+    lambda _, c: MultimodalPrompt(c[0], c[1]))
+
+
 class MMProjector(nn.Module):
     """mm_projector Linear(1024 -> 4096) (arch.py:16)."""
 

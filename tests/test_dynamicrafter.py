@@ -109,3 +109,31 @@ def test_synthesis_deterministic(model_and_params):
     z1 = model.image_guided_synthesis(params, key=jax.random.PRNGKey(9), **kw)
     z2 = model.image_guided_synthesis(params, key=jax.random.PRNGKey(9), **kw)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_three_way_cfg(model_and_params):
+    """cfg_img path: 3 guidance streams (ddim_multiplecond.py:210-234).
+    Zero-init kernels are perturbed so the streams produce distinct
+    predictions (at init every stream outputs exactly 0)."""
+    import flax
+    model, params = model_and_params
+    flat = flax.traverse_util.flatten_dict(params["unet"]["params"])
+    for k in list(flat):
+        if k[-1] == "kernel" and float(jnp.abs(flat[k]).sum()) == 0.0:
+            flat[k] = jax.random.normal(
+                jax.random.PRNGKey(sum(map(len, k))), flat[k].shape) * 0.02
+    p2 = dict(params)
+    p2["unet"] = {"params": flax.traverse_util.unflatten_dict(flat)}
+    text_ctx = model.encode_text(p2, empty_prompt_tokens(1, 7))
+    # NON-zero cond image: the uncond stream uses the zero image, so a zero
+    # cond image would make all three streams identical
+    kw = dict(text_context=text_ctx,
+              cond_images=jax.random.uniform(jax.random.PRNGKey(5),
+                                             (1, 28, 28, 3)),
+              cond_frames=jnp.zeros((1, 1, H, W, 3)),
+              key=jax.random.PRNGKey(11), ddim_steps=2, guidance_scale=7.5)
+    z = model.image_guided_synthesis(p2, cfg_img=1.5, **kw)
+    assert z.shape == (1, T, H // 2, W // 2, 4)
+    assert bool(jnp.isfinite(z).all())
+    z2 = model.image_guided_synthesis(p2, **kw)  # 2-way
+    assert not np.allclose(np.asarray(z), np.asarray(z2))
