@@ -127,7 +127,9 @@ def main(argv=None):
                 ddim_steps=args.ddim_steps, guidance_scale=args.ugs,
                 eta=args.eta, fs=args.fs, cfg_img=args.cfg_img,
                 guidance_rescale=args.guidance_rescale)
-            video = model.decode(params, z)
+            chunk = 8 if (height * width <= 320 * 512
+                          and z.shape[1] % 8 == 0) else 1
+            video = model.decode(params, z, frame_chunk=chunk)
             frames = frames_to_uint8(np.asarray(video[0]))
             name = os.path.splitext(img_name)[0]
             suffix = f"_{s}" if args.n_samples > 1 else ""

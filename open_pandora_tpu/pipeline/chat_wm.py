@@ -115,7 +115,12 @@ class ChatWM:
             fs=fs, **kw)
         np.asarray(z[0, 0, 0, 0])  # host fetch = true sync
         t1 = time.perf_counter()
-        video = self.wm.diffusion.decode(self.params, z)  # (1,T,H,W,3) [-1,1]
+        # batch frames through the decoder: 2.4x over per-frame on v5e at
+        # 320x512; fall back to small chunks at high res (VMEM)
+        t = z.shape[1]
+        chunk = 8 if (self.hw[0] * self.hw[1] <= 320 * 512 and t % 8 == 0) \
+            else (2 if t % 2 == 0 else 1)
+        video = self.wm.diffusion.decode(self.params, z, frame_chunk=chunk)
         frames = frames_to_uint8(np.asarray(video[0]))
         t2 = time.perf_counter()
         print(f"[chatwm] round {self.round}: conditioning+sampling "
