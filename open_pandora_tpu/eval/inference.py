@@ -63,6 +63,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
+    from open_pandora_tpu.parallel.launch import init_distributed
+    init_distributed()
 
     import dataclasses
     import time

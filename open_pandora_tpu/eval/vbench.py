@@ -48,6 +48,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
+    from open_pandora_tpu.parallel.launch import init_distributed
+    init_distributed()
 
     import jax
     from PIL import Image

@@ -89,6 +89,8 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
+    from open_pandora_tpu.parallel.launch import init_distributed
+    init_distributed()
 
     import jax
     import jax.numpy as jnp
