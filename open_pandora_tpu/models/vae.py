@@ -205,13 +205,11 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, dtype=self.dtype, name="encoder")
         self.decoder = Decoder(self.cfg, dtype=self.dtype, name="decoder")
-        z = 2 * self.cfg.z_channels if self.cfg.double_z else self.cfg.z_channels
         self.quant_conv = nn.Conv(2 * self.cfg.embed_dim if self.cfg.double_z
                                   else self.cfg.embed_dim,
                                   (1, 1), dtype=self.dtype, name="quant_conv")
         self.post_quant_conv = nn.Conv(self.cfg.z_channels, (1, 1),
                                        dtype=self.dtype, name="post_quant_conv")
-        del z
 
     def encode(self, x: jnp.ndarray) -> DiagonalGaussian:
         moments = self.quant_conv(self.encoder(x))

@@ -223,13 +223,22 @@ def make_finetune_step(
         return jax.tree_util.tree_map(
             lambda x: data_sharding(mesh_spec, jnp.ndim(x)), batch)
 
+    cache = {}
+
     def jitted(state, batch, key):
-        ss = state_shardings(state)
-        fn = jax.jit(
-            step,
-            in_shardings=(ss, batch_shardings(batch), replicated(mesh_spec)),
-            out_shardings=(ss, None),
-        )
+        # memoize the jit wrapper per batch pytree structure — a fresh
+        # jax.jit per call would re-trace every step
+        sig = jax.tree_util.tree_structure(batch)
+        fn = cache.get(sig)
+        if fn is None:
+            ss = state_shardings(state)
+            fn = jax.jit(
+                step,
+                in_shardings=(ss, batch_shardings(batch),
+                              replicated(mesh_spec)),
+                out_shardings=(ss, None),
+            )
+            cache[sig] = fn
         return fn(state, batch, key)
 
     jitted.shard_state = shard_state  # type: ignore[attr-defined]

@@ -101,7 +101,7 @@ def main(argv=None):
     from open_pandora_tpu.data.webvid import (PrefetchLoader,
                                               SyntheticVideoDataset,
                                               WebVidDataset)
-    from open_pandora_tpu.parallel.mesh import build_mesh, shard_batch
+    from open_pandora_tpu.parallel.mesh import build_mesh
     from open_pandora_tpu.train.step import (TrainState, make_alignment_step,
                                              make_finetune_step,
                                              make_wm_finetune_step)
