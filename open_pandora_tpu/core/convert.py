@@ -33,7 +33,14 @@ Flat = Dict[str, np.ndarray]
 
 
 def linear(flat: Flat, prefix: str, bias: bool = True) -> dict:
-    out = {"kernel": np.ascontiguousarray(flat[f"{prefix}.weight"].T)}
+    w = flat[f"{prefix}.weight"]
+    if w.ndim == 3:
+        # Conv1d with kernel_size=1 acting as a per-position linear —
+        # TemporalTransformer proj_in/out with use_linear=False, e.g. the
+        # UNet's init_attn (attention.py:332-361, openaimodel3d.py:394).
+        # torch layout (out, in, 1) -> flax Dense kernel (in, out).
+        w = w[:, :, 0]
+    out = {"kernel": np.ascontiguousarray(w.T)}
     if bias and f"{prefix}.bias" in flat:
         out["bias"] = flat[f"{prefix}.bias"]
     return out

@@ -142,16 +142,28 @@ def make_ddim_params(alphas_cumprod: np.ndarray, ddim_timesteps: np.ndarray, eta
 # ---------------------------------------------------------------------------
 
 
+def _bf16_freq_table(half: int, max_period: int) -> np.ndarray:
+    """The reference's bf16 frequency table (utils_diffusion.py:19-21),
+    bit-exact. torch evaluates `scalar * bf16_tensor` by rounding the
+    full-precision per-element product to bf16 (the scalar is NOT pre-cast),
+    so each step of the chain is: compute wide, round to bf16. Verified
+    identical to the torch expression for half=16 and half=160."""
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+    i = np.arange(half, dtype=np.float64)
+    a = (-math.log(max_period) * i).astype(bf16)
+    a = (a.astype(np.float64) / half).astype(bf16)
+    return np.exp(a.astype(np.float32)).astype(bf16).astype(np.float32)
+
+
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000):
     """Sinusoidal embedding (utils_diffusion.py:8-28). The reference computes
-    the frequency table in bfloat16 (:20) — reproduced here so converted
-    weights see identical inputs; args product is fp32 like the reference."""
+    the frequency table in bfloat16 (:20) — reproduced bit-exactly so
+    converted weights see identical inputs; args product is fp32 like the
+    reference."""
     half = dim // 2
-    freqs = jnp.exp(
-        -math.log(max_period)
-        * jnp.arange(half, dtype=jnp.bfloat16)
-        / half
-    ).astype(jnp.float32)
+    freqs = jnp.asarray(_bf16_freq_table(half, max_period))
     args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
     emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
     if dim % 2:

@@ -167,7 +167,7 @@ class FeedForward(nn.Module):
         inner = d * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate)
+        h = h * jax.nn.gelu(gate, approximate=False)  # torch F.gelu is erf
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(d, dtype=self.dtype, name="net_2")(h)
 
@@ -226,8 +226,10 @@ class BasicTransformerBlock(nn.Module):
                 image_ca_scale_learnable=self.image_ca_scale_learnable,
                 text_context_len=self.text_context_len,
                 dropout=self.dropout, dtype=self.dtype, name="attn2",
-            )(LayerNorm(name="norm2")(x),
-              context if context is not None else x, deterministic)
+            )(LayerNorm(name="norm2")(x), context, deterministic)
+            # context=None -> CrossAttention self-attends on the NORMED
+            # input (attention.py:243-244 passes norm2(x) and CrossAttention
+            # defaults context to it) — not on the raw residual stream.
         x = x + FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
             LayerNorm(name="norm3")(x), deterministic)
         return x
