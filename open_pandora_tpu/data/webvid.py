@@ -210,8 +210,10 @@ class PrefetchLoader:
         self.num_workers = num_workers
         self.seed = seed
         if tokenizer is None:
-            from open_pandora_tpu.pipeline.tokenizers import clip_fallback_encode
-            tokenizer = clip_fallback_encode
+            # real OpenCLIP BPE when the merges asset is present, else the
+            # hash stand-in (pipeline/tokenizers.load_clip_tokenizer)
+            from open_pandora_tpu.pipeline.tokenizers import load_clip_tokenizer
+            tokenizer = load_clip_tokenizer(context_length=text_len)
         self.tokenize = tokenizer
         self.llm_tokenizer = llm_tokenizer
         self.llm_text_len = llm_text_len

@@ -78,7 +78,8 @@ def main(argv=None):
     from open_pandora_tpu.parallel.mesh import process_shard_indices
     from open_pandora_tpu.pipeline.preprocess import (clip_resampler_preprocess,
                                                       diffusion_preprocess)
-    from open_pandora_tpu.pipeline.tokenizers import clip_fallback_encode
+    from open_pandora_tpu.pipeline.tokenizers import load_clip_tokenizer
+    clip_encode = load_clip_tokenizer()
     from open_pandora_tpu.utils.video_io import frames_to_uint8, write_video
 
     if args.debug:
@@ -116,7 +117,7 @@ def main(argv=None):
     t0 = time.time()
     for img_name, prompt in shard:
         img = Image.open(os.path.join(args.prompt_dir, img_name))
-        tokens = jnp.asarray([clip_fallback_encode(prompt, ctx_len)], jnp.int32)
+        tokens = jnp.asarray([clip_encode(prompt, ctx_len)], jnp.int32)
         text_ctx = model.encode_text(params, tokens)
         cond_img = jnp.asarray(clip_resampler_preprocess(img))[None]
         cond_frames = jnp.asarray(

@@ -84,3 +84,31 @@ def load_tokenizer(path: Optional[str] = None):
         except Exception:
             pass
     return HashFallbackTokenizer()
+
+
+def load_clip_tokenizer(merges_path: Optional[str] = None,
+                        context_length: int = 77):
+    """Returns `encode(text, context_length=77) -> List[int]` in the
+    open_clip.tokenize layout. Uses the REAL byte-level BPE
+    (pipeline/clip_bpe.py) when a merges file is available — pass a path,
+    set $PANDORA_CLIP_BPE, or drop the asset at assets/bpe_simple_vocab_16e6
+    .txt[.gz]; otherwise falls back to the hash stand-in (smoke only)."""
+    import os
+
+    candidates = [merges_path, os.environ.get("PANDORA_CLIP_BPE")]
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    for name in ("bpe_simple_vocab_16e6.txt.gz", "bpe_simple_vocab_16e6.txt"):
+        candidates.append(os.path.join(root, "assets", name))
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            from open_pandora_tpu.pipeline.clip_bpe import (CLIPBPETokenizer,
+                                                            clip_tokenize)
+            tok = CLIPBPETokenizer(cand)
+
+            def encode(text: str, context_length: int = context_length):
+                return clip_tokenize([text], tok, context_length)[0].tolist()
+
+            encode.is_real_bpe = True
+            return encode
+    clip_fallback_encode.is_real_bpe = False
+    return clip_fallback_encode
