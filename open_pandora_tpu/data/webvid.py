@@ -28,7 +28,8 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from open_pandora_tpu.utils.video_io import HAVE_CV2, read_video_frames
+from open_pandora_tpu.utils.video_io import (HAVE_CV2, probe_video,
+                                             read_video_frames)
 
 log = logging.getLogger("open_pandora_tpu.data")
 
@@ -103,16 +104,11 @@ class WebVidDataset:
             row = self.metadata.iloc[index]
             path = self._video_path(row)
             try:
-                probe, fps_ori = read_video_frames(path, indices=[0])
-            except (IOError, Exception) as e:  # noqa: BLE001
+                frame_num, fps_ori = probe_video(path)
+            except Exception as e:  # noqa: BLE001
                 log.warning("Load video failed! path = %s (%s)", path, e)
                 index += 1
                 continue
-            import cv2
-
-            cap = cv2.VideoCapture(path)
-            frame_num = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            cap.release()
             if frame_num < self.video_length:
                 log.warning("video length (%d) < target (%d): %s",
                             frame_num, self.video_length, path)

@@ -77,6 +77,25 @@ def read_video_frames(
     return out, fps
 
 
+def probe_video(path: str) -> Tuple[int, float]:
+    """Single-open probe: verify the first frame decodes and return
+    (frame_count, fps). Replaces the reference's decode-then-reopen probe
+    (data/webvid.py:104-131) with one demuxer open."""
+    assert HAVE_CV2, "OpenCV unavailable — cannot read video"
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise IOError(f"cannot open video {path}")
+        ok, _ = cap.read()
+        if not ok:
+            raise IOError(f"no decodable frames in {path}")
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    finally:
+        cap.release()
+    return total, fps
+
+
 def frames_to_uint8(video: np.ndarray) -> np.ndarray:
     """[-1, 1] float (t, h, w, 3) -> uint8 (model.py:1191-1197 semantics:
     clamp, (x+1)/2, *255)."""
