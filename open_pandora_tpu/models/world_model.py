@@ -42,8 +42,11 @@ import flax.linen as nn
 
 @dataclass(frozen=True)
 class TokenSegment:
-    """Plain text tokens, shape (b, n)."""
+    """Plain text tokens, shape (b, n). `mask` (b, n) bool marks real
+    tokens when the segment is padded to a length bucket (SURVEY §7.0:
+    "bucketed lengths for the text span") — None means all-real."""
     ids: Any  # jnp.ndarray (b, n) int32
+    mask: Any = None  # optional jnp.ndarray (b, n) bool
 
 
 @dataclass(frozen=True)
@@ -80,8 +83,8 @@ class MultimodalPrompt:
 # pytree registrations: array leaves (ids/images) traced, layout static —
 # prompts can cross jit boundaries (e.g. inside train steps)
 jax.tree_util.register_pytree_node(
-    TokenSegment, lambda s: ((s.ids,), None),
-    lambda _, c: TokenSegment(c[0]))
+    TokenSegment, lambda s: ((s.ids, s.mask), None),
+    lambda _, c: TokenSegment(c[0], c[1]))
 jax.tree_util.register_pytree_node(
     ImageSegment, lambda s: ((), s.index),
     lambda aux, _: ImageSegment(aux))
@@ -205,14 +208,57 @@ class WorldModel:
                 raise TypeError(f"unknown segment {seg!r}")
         return jnp.concatenate(embeds, axis=1), prefix_spans
 
+    def segment_length(self, seg) -> Optional[int]:
+        """Static spliced length of a segment (None for TokenSegment whose
+        length is carried by its ids array)."""
+        import math
+        cfg = self.cfg
+        per_image = sum(cfg.cluster.spatial_rates)
+        if isinstance(seg, ImageSegment):
+            return per_image
+        if isinstance(seg, VideoSegment):
+            events = max(math.ceil(len(seg.indices) * cfg.cluster.temporal_rate), 1)
+            return per_image * events
+        if isinstance(seg, PrefixSegment):
+            return seg.length
+        return None
+
+    def attention_mask_for(self, prompt: MultimodalPrompt,
+                           ) -> Optional[jnp.ndarray]:
+        """(b, L) bool key mask over the spliced sequence, or None when no
+        TokenSegment is bucketed. Feature/prefix spans are always real."""
+        if not any(isinstance(s, TokenSegment) and s.mask is not None
+                   for s in prompt.segments):
+            return None
+        b = prompt.images.shape[0] if prompt.images is not None else 1
+        cols = []
+        for seg in prompt.segments:
+            if isinstance(seg, TokenSegment):
+                if seg.mask is not None:
+                    cols.append(seg.mask.astype(bool))
+                else:
+                    cols.append(jnp.ones(seg.ids.shape, bool))
+            else:
+                cols.append(jnp.ones((b, self.segment_length(seg)), bool))
+        return jnp.concatenate(cols, axis=1)
+
     def get_diffusion_conditioning(
         self, params, prompt: MultimodalPrompt,
         attention_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """-> (b, rounds, 77, 1024) diffusion conditioning, one entry per
         [IMG_P] block (model.py:616-686)."""
+        if attention_mask is None:
+            attention_mask = self.attention_mask_for(prompt)
         embeds, spans = self.build_inputs_embeds(params, prompt)
+        positions = None
+        if attention_mask is not None:
+            # pads are position-transparent: real tokens keep the positions
+            # they'd have unpadded, so bucketed == unbucketed conditioning
+            positions = jnp.cumsum(attention_mask.astype(jnp.int32),
+                                   axis=1) - 1
         hidden = self.llama.apply(params["llama"], embeds,
+                                  positions=positions,
                                   attention_mask=attention_mask,
                                   method=LlamaForCausalLM.trunk)
         b = hidden.shape[0]
@@ -258,12 +304,15 @@ class WorldModel:
 
 
 def round1_prompt(bos_and_text_ids: jnp.ndarray, *, images: jnp.ndarray,
-                  prefix_len: int = 64) -> MultimodalPrompt:
+                  prefix_len: int = 64,
+                  text_mask: Optional[jnp.ndarray] = None) -> MultimodalPrompt:
     """`bos + "<image> " + text + "[IMG_P]"*64` (model.py:1020-1024).
     bos_and_text_ids: (b, n) — bos then the text (the "<image>" marker is
-    structural, not a token here)."""
+    structural, not a token here). text_mask (b, n): real-token mask when
+    the ids are padded to a length bucket."""
     bos = TokenSegment(bos_and_text_ids[:, :1])
-    text = TokenSegment(bos_and_text_ids[:, 1:])
+    text = TokenSegment(bos_and_text_ids[:, 1:],
+                        None if text_mask is None else text_mask[:, 1:])
     return MultimodalPrompt(
         segments=[bos, ImageSegment(0), text, PrefixSegment(prefix_len)],
         images=images)
@@ -274,11 +323,12 @@ def next_round_prompt(
     new_frame_indices: Sequence[int],
     text_ids: jnp.ndarray,
     *, prefix_len: int = 64,
+    text_mask: Optional[jnp.ndarray] = None,
 ) -> MultimodalPrompt:
     """Append `"<image>"*16 + text + "[IMG_P]"*64` (model.py:1055): the 16
     decoded frames re-enter as a video segment."""
     segs = list(history.segments)
     segs.append(VideoSegment(tuple(new_frame_indices)))
-    segs.append(TokenSegment(text_ids))
+    segs.append(TokenSegment(text_ids, text_mask))
     segs.append(PrefixSegment(prefix_len))
     return MultimodalPrompt(segments=segs, images=history.images)

@@ -37,6 +37,8 @@ from open_pandora_tpu.utils.video_io import (concat_rounds, frames_to_uint8,
 class ChatWM:
     def __init__(self, wm: WorldModel, params, tokenizer=None,
                  height: int = 320, width: int = 512):
+        from open_pandora_tpu.ops.fused_temporal import ensure_fused_accuracy
+        ensure_fused_accuracy()  # evidence-gate the Pallas fast path
         self.wm = wm
         self.params = params
         self.tokenizer = tokenizer or load_tokenizer()
@@ -52,9 +54,24 @@ class ChatWM:
 
     # -- rounds -------------------------------------------------------------
 
-    def _ids(self, text: str, add_bos: bool) -> jnp.ndarray:
-        return jnp.asarray([self.tokenizer.encode(text, add_bos=add_bos)],
-                           dtype=jnp.int32)
+    TEXT_BUCKETS = (16, 32, 64, 128, 256)
+
+    def _ids(self, text: str, add_bos: bool):
+        """Tokenize and pad to a length bucket so rounds with different
+        action texts reuse one conditioning trace (the reference recompiles
+        per prompt length; SURVEY §7.0 bucketed-text-span row). Returns
+        (ids (1, bucket), mask (1, bucket)) — pads are masked + position-
+        transparent in the trunk, so bucketing is numerically exact."""
+        raw = self.tokenizer.encode(text, add_bos=add_bos)
+        n = len(raw)
+        bucket = next((b for b in self.TEXT_BUCKETS if b >= n), None)
+        if bucket is None:
+            bucket = n  # beyond the largest bucket: exact-length trace
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :n] = raw
+        mask = np.zeros((1, bucket), bool)
+        mask[0, :n] = True
+        return jnp.asarray(ids), jnp.asarray(mask)
 
     def generate_video(self, image: Image.Image, text: str, *,
                        ddim_steps: int = 50, fs: int = 15,
@@ -68,11 +85,12 @@ class ChatWM:
         diff_img = diffusion_preprocess(image, self.hw)
         cond_frames = jnp.asarray(diff_img)[None, None]  # (1,1,H,W,3)
 
-        ids = self._ids(text, add_bos=True)
+        ids, mask = self._ids(text, add_bos=True)
         images = jnp.asarray(np.stack(self.images))[None]
         self.prompt = round1_prompt(
             ids, images=images,
-            prefix_len=self.wm.cfg.connector.image_prefix_length)
+            prefix_len=self.wm.cfg.connector.image_prefix_length,
+            text_mask=mask)
         return self._run_round(cond_frames, ddim_steps, fs, guidance_scale,
                                eta, seed, **kw)
 
@@ -94,9 +112,11 @@ class ChatWM:
         cond_frames = jnp.asarray(tail)[None]  # (1, 4, H, W, 3)
 
         images = jnp.asarray(np.stack(self.images))[None]
+        ids, mask = self._ids(text, add_bos=False)
         prompt = next_round_prompt(
-            self.prompt, new_indices, self._ids(text, add_bos=False),
-            prefix_len=self.wm.cfg.connector.image_prefix_length)
+            self.prompt, new_indices, ids,
+            prefix_len=self.wm.cfg.connector.image_prefix_length,
+            text_mask=mask)
         self.prompt = MultimodalPrompt(segments=prompt.segments, images=images)
         return self._run_round(cond_frames, ddim_steps, fs, guidance_scale,
                                eta, seed, **kw)
