@@ -143,6 +143,11 @@ class LLaMAConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
+    # LoRA adapters on every linear projection except lm_head
+    # (ChatUniVi/train/train.py:98-103 defaults r=64 alpha=16;
+    # find_all_linear_names :162-173). 0 = off.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def total_vocab(self) -> int:

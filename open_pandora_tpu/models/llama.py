@@ -78,7 +78,40 @@ class Int8Dense(nn.Module):
         return x @ w
 
 
-def _proj(features, quantized, dtype, name):
+class LoRADense(nn.Module):
+    """Frozen base projection + low-rank adapter: y = xW + (xA)B * α/r
+    (PEFT semantics: A kaiming-init, B zero-init so the delta starts at 0;
+    ChatUniVi enables it over every linear except lm_head,
+    train.py:98-103,162-173, r=64 α=16). Composes with the int8 base for
+    QLoRA-style finetuning. The adapter matmuls never materialize AB.
+    LoRA dropout is not applied (the TPU SFT step is deterministic)."""
+
+    features: int
+    rank: int
+    alpha: float = 16.0
+    dtype: Any = jnp.float32
+    quantized: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        base = (Int8Dense(self.features, dtype=self.dtype, name="base")
+                if self.quantized else
+                nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                         name="base"))
+        a = self.param("lora_a", nn.initializers.he_uniform(),
+                       (x.shape[-1], self.rank))
+        b = self.param("lora_b", nn.initializers.zeros,
+                       (self.rank, self.features))
+        scale = self.alpha / self.rank
+        delta = (x @ a.astype(self.dtype)) @ b.astype(self.dtype)
+        return base(x) + delta * scale
+
+
+def _proj(features, quantized, dtype, name, lora: tuple = (0, 16.0)):
+    rank, alpha = lora
+    if rank:
+        return LoRADense(features, rank=rank, alpha=alpha, dtype=dtype,
+                         quantized=quantized, name=name)
     if quantized:
         return Int8Dense(features, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
@@ -94,16 +127,18 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, n, _ = x.shape
         h, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        lora = (cfg.lora_rank, cfg.lora_alpha)
         q = _proj(cfg.hidden_size, self.quantized, self.dtype,
-                  "q_proj")(x).reshape(b, n, h, dh)
+                  "q_proj", lora)(x).reshape(b, n, h, dh)
         k = _proj(cfg.hidden_size, self.quantized, self.dtype,
-                  "k_proj")(x).reshape(b, n, h, dh)
+                  "k_proj", lora)(x).reshape(b, n, h, dh)
         v = _proj(cfg.hidden_size, self.quantized, self.dtype,
-                  "v_proj")(x).reshape(b, n, h, dh)
+                  "v_proj", lora)(x).reshape(b, n, h, dh)
         q = rotary_embed(q, positions, cfg.rope_theta)
         k = rotary_embed(k, positions, cfg.rope_theta)
         o = attention(q, k, v, causal=True, mask=mask).reshape(b, n, -1)
-        return _proj(cfg.hidden_size, self.quantized, self.dtype, "o_proj")(o)
+        return _proj(cfg.hidden_size, self.quantized, self.dtype, "o_proj",
+                     lora)(o)
 
 
 class LlamaMLP(nn.Module):
@@ -114,12 +149,13 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        lora = (cfg.lora_rank, cfg.lora_alpha)
         gate = _proj(cfg.intermediate_size, self.quantized, self.dtype,
-                     "gate_proj")(x)
+                     "gate_proj", lora)(x)
         up = _proj(cfg.intermediate_size, self.quantized, self.dtype,
-                   "up_proj")(x)
+                   "up_proj", lora)(x)
         return _proj(cfg.hidden_size, self.quantized, self.dtype,
-                     "down_proj")(jax.nn.silu(gate) * up)
+                     "down_proj", lora)(jax.nn.silu(gate) * up)
 
 
 class LlamaLayer(nn.Module):

@@ -77,7 +77,8 @@ def _feature_len(cfg, seg) -> int:
 
 def sft_loss(wm: WorldModel, trainable, frozen, batch, key):
     """batch: {'prompt': MultimodalPrompt, 'labels': (b, L) int32}."""
-    params = {**trainable, **frozen}
+    from open_pandora_tpu.train.optim import deep_merge
+    params = deep_merge(trainable, frozen)
     prompt: MultimodalPrompt = batch["prompt"]
     labels = batch["labels"]
     embeds, _ = wm.build_inputs_embeds(params, prompt)
@@ -99,8 +100,12 @@ def sft_loss(wm: WorldModel, trainable, frozen, batch, key):
 
 def make_llm_sft_step(wm: WorldModel, tcfg: TrainConfig,
                       mesh_spec: Optional[MeshSpec] = None):
+    """Full SFT (llama + mm_projector) by default; when the config enables
+    LoRA (llama.lora_rank > 0) only the adapters + mm_projector train
+    (ChatUniVi train.py:98-103 lora_enable path)."""
     import functools
 
+    stage = "llm_sft_lora" if wm.cfg.llama.lora_rank > 0 else "llm_sft"
     return make_finetune_step(wm.diffusion, tcfg, mesh_spec=mesh_spec,
-                              stage="llm_sft",
+                              stage=stage,
                               loss_fn=functools.partial(sft_loss, wm))

@@ -12,7 +12,7 @@ optimizer, and gradients are never computed for it.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Mapping, Sequence, Tuple
 
 import optax
 
@@ -27,8 +27,47 @@ TRAINABLE_KEYS = {
 }
 
 
+def split_tree(tree, pred, path=()):
+    """Split a nested-dict pytree by a path predicate -> (selected, rest);
+    empty branches are dropped (None at the top means 'nothing')."""
+    if isinstance(tree, Mapping):
+        sel, rest = {}, {}
+        for k, v in tree.items():
+            s, r = split_tree(v, pred, path + (k,))
+            if s is not None:
+                sel[k] = s
+            if r is not None:
+                rest[k] = r
+        return (sel if sel else None), (rest if rest else None)
+    return (tree, None) if pred(path) else (None, tree)
+
+
+def deep_merge(a, b):
+    """Recursive union of two nested dicts (disjoint leaves; `a` wins on
+    impossible conflicts). Top-level-disjoint trees behave exactly like
+    {**a, **b}."""
+    if isinstance(a, Mapping) and isinstance(b, Mapping):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = deep_merge(out[k], v) if k in out else v
+        return out
+    return a
+
+
+def _lora_pred(path) -> bool:
+    """LoRA SFT freeze policy: adapters (+ mm_projector) train, everything
+    else is frozen (ChatUniVi train.py:121-146 peft state split)."""
+    return (path[0] == "mm_projector"
+            or any(str(k) in ("lora_a", "lora_b") for k in path))
+
+
 def trainable_partition(params: dict, stage: str) -> Tuple[dict, dict]:
-    """Split the composite params dict into (trainable, frozen) by stage."""
+    """Split the composite params dict into (trainable, frozen) by stage.
+    Stages listed in TRAINABLE_KEYS split at the top level; 'llm_sft_lora'
+    splits by leaf path (adapters live inside the llama subtree)."""
+    if stage == "llm_sft_lora":
+        sel, rest = split_tree(params, _lora_pred)
+        return sel or {}, rest or {}
     keys = TRAINABLE_KEYS[stage]
     trainable = {k: v for k, v in params.items() if k in keys}
     frozen = {k: v for k, v in params.items() if k not in keys}

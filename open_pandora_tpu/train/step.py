@@ -32,7 +32,8 @@ from open_pandora_tpu.models.encoders import empty_prompt_tokens
 from open_pandora_tpu.models.vae import encode_video
 from open_pandora_tpu.parallel.mesh import (MeshSpec, data_sharding,
                                             replicated, zero2_opt_spec)
-from open_pandora_tpu.train.optim import make_optimizer, trainable_partition
+from open_pandora_tpu.train.optim import (deep_merge, make_optimizer,
+                                           trainable_partition)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -49,12 +50,12 @@ class TrainState(flax.struct.PyTreeNode):
 
     @property
     def params(self) -> dict:
-        return {**self.trainable, **self.frozen}
+        return deep_merge(self.trainable, self.frozen)
 
 
 def _finetune_loss(model: DynamiCrafter, tcfg: TrainConfig, trainable, frozen,
                    batch: Dict[str, jnp.ndarray], key: jax.Array):
-    params = {**trainable, **frozen}
+    params = deep_merge(trainable, frozen)
     cfg = model.cfg
     k_enc, k_drop, k_diff, k_dropout = jax.random.split(key, 4)
 
@@ -103,7 +104,7 @@ def make_wm_finetune_step(wm, tcfg: TrainConfig,
     model = wm.diffusion
 
     def loss_fn(trainable, frozen, batch, key):
-        params = {**trainable, **frozen}
+        params = deep_merge(trainable, frozen)
         cfg = wm.cfg
         k_enc, k_drop, k_diff, k_dropout = jax.random.split(key, 4)
 
@@ -156,7 +157,7 @@ def make_alignment_step(wm, tcfg: TrainConfig,
     from open_pandora_tpu.models.world_model import round1_prompt
 
     def loss_fn(trainable, frozen, batch, key):
-        params = {**trainable, **frozen}
+        params = deep_merge(trainable, frozen)
         imgs = batch["cond_images"]
         imgs = (imgs - jnp.asarray(CLIP_MEAN, imgs.dtype)) / jnp.asarray(
             CLIP_STD, imgs.dtype)

@@ -81,6 +81,15 @@ def build_parser():
                         "(the reference's ImageLogger, utils/callbacks.py:15)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (smoke mode)")
+    p.add_argument("--logger", default="tensorboard",
+                   help="comma list of metric backends besides metrics.jsonl:"
+                        " tensorboard (default, reference utils_train.py:95),"
+                        " csv, wandb, none")
+    p.add_argument("--chat-path", action="append", default=[],
+                   help="conversation JSON file(s) for train.stage=llm_sft "
+                        "(ChatUniVi LazySupervisedDataset records)")
+    p.add_argument("--image-root", default=None)
+    p.add_argument("--video-root", default=None)
     return p
 
 
@@ -140,7 +149,7 @@ def main(argv=None):
              len(jax.devices()))
 
     # -- model + params
-    if stage == "alignment" or stage == "finetune":
+    if stage in ("alignment", "finetune", "llm_sft"):
         from open_pandora_tpu.models.world_model import WorldModel
         wm = WorldModel(cfg)
         model = wm.diffusion
@@ -158,12 +167,19 @@ def main(argv=None):
     # -- step fn
     if stage == "alignment":
         step_fn, tx = make_alignment_step(wm, tcfg, mesh_spec=mesh)
+        stage_key = "alignment"
     elif stage == "finetune":
         step_fn, tx = make_wm_finetune_step(wm, tcfg, mesh_spec=mesh)
+        stage_key = "finetune"
+    elif stage == "llm_sft":
+        from open_pandora_tpu.train.llm_step import make_llm_sft_step
+        step_fn, tx = make_llm_sft_step(wm, tcfg, mesh_spec=mesh)
+        stage_key = ("llm_sft_lora" if cfg.llama.lora_rank > 0
+                     else "llm_sft")
     else:
         step_fn, tx = make_finetune_step(model, tcfg, mesh_spec=mesh,
                                          stage="dynamicrafter")
-    stage_key = stage if stage in ("alignment", "finetune") else "dynamicrafter"
+        stage_key = "dynamicrafter"
     state = TrainState.create(params, stage_key, tx)
     state = step_fn.shard_state(state)
 
@@ -179,28 +195,49 @@ def main(argv=None):
 
     # -- data
     text_len = cfg.clip_text.context_length
-    if args.synthetic_data or not args.meta_path:
-        ds = SyntheticVideoDataset(video_length=video_len,
-                                   resolution=(height, width),
-                                   clip_size=clip_size)
-    else:
-        ds = WebVidDataset(args.meta_path, args.data_dir,
-                           video_length=video_len,
-                           resolution=(height, width),
-                           frame_stride=tcfg.frame_stride,
-                           fixed_fps=tcfg.fixed_fps, seed=tcfg.seed)
     batch_global = tcfg.batch_size_per_device * mesh.n_data
-    llm_tok = None
-    if stage in ("alignment", "finetune"):
-        # fixed-length (bucketed) LLaMA prompt text; the fallback tokenizer
-        # stands in when no sentencepiece assets are present
+    if stage == "llm_sft":
+        from open_pandora_tpu.data.sft import (ConversationDataset,
+                                               synthetic_conversations)
         from open_pandora_tpu.pipeline.tokenizers import load_tokenizer
-        llm_tok = load_tokenizer()
-    loader = PrefetchLoader(ds, batch_global, text_len=text_len,
-                            llm_tokenizer=llm_tok)
+        sft_ds = ConversationDataset(
+            args.chat_path, load_tokenizer(),
+            image_root=args.image_root, video_root=args.video_root,
+            clip_size=clip_size, seed=tcfg.seed,
+            records=(synthetic_conversations(8 * batch_global, tcfg.seed)
+                     if not args.chat_path else None))
+
+        class _SFTLoader:
+            def epoch(self, _i):
+                return sft_ds.batches(batch_global, cfg, bucket=32,
+                                      drop_remainder=mesh.n_data > 1)
+
+        loader = _SFTLoader()
+    else:
+        if args.synthetic_data or not args.meta_path:
+            ds = SyntheticVideoDataset(video_length=video_len,
+                                       resolution=(height, width),
+                                       clip_size=clip_size)
+        else:
+            ds = WebVidDataset(args.meta_path, args.data_dir,
+                               video_length=video_len,
+                               resolution=(height, width),
+                               frame_stride=tcfg.frame_stride,
+                               fixed_fps=tcfg.fixed_fps, seed=tcfg.seed)
+        llm_tok = None
+        if stage in ("alignment", "finetune"):
+            # fixed-length (bucketed) LLaMA prompt text; the fallback
+            # tokenizer stands in when no sentencepiece assets are present
+            from open_pandora_tpu.pipeline.tokenizers import load_tokenizer
+            llm_tok = load_tokenizer()
+        loader = PrefetchLoader(ds, batch_global, text_len=text_len,
+                                llm_tokenizer=llm_tok)
 
     # -- loop
-    metrics_path = os.path.join(ws["loginfo"], "metrics.jsonl")
+    metrics = None
+    if jax.process_index() == 0:
+        from open_pandora_tpu.utils.loggers import MetricsLogger
+        metrics = MetricsLogger(ws["loginfo"], backends=args.logger)
     key = jax.random.PRNGKey(tcfg.seed)
     step_i = start_step
     t_last = time.time()
@@ -215,14 +252,13 @@ def main(argv=None):
                 m = {k: float(v) for k, v in m.items()}
                 dt = time.time() - t_last
                 t_last = time.time()
-                rec = {"step": step_i, "sec_per_step": dt / tcfg.log_every,
-                       **m}
-                log.info("%s", rec)
-                if jax.process_index() == 0:
-                    with open(metrics_path, "a") as f:
-                        f.write(json.dumps(rec) + "\n")
+                rec = {"sec_per_step": dt / tcfg.log_every, **m}
+                log.info("%s", {"step": step_i, **rec})
+                if metrics is not None:
+                    metrics.log(step_i, rec)
             if (args.sample_every and step_i % args.sample_every == 0
-                    and jax.process_index() == 0 and stage != "alignment"):
+                    and jax.process_index() == 0
+                    and stage in ("finetune", "dynamicrafter")):
                 from open_pandora_tpu.models.encoders import empty_prompt_tokens
                 from open_pandora_tpu.utils.image_grid import save_sample_grid
                 sp = {**state.trainable, **state.frozen}
@@ -250,6 +286,8 @@ def main(argv=None):
     if jax.process_index() == 0:
         save_params(ws["checkpoints"], jax.device_get(state.trainable),
                     step=step_i)
+    if metrics is not None:
+        metrics.close()
     log.info("done at step %d", step_i)
     return 0
 
