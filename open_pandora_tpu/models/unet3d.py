@@ -35,21 +35,27 @@ import jax.numpy as jnp
 from open_pandora_tpu.core.config import UNet3DConfig
 from open_pandora_tpu.diffusion.schedule import timestep_embedding
 from open_pandora_tpu.ops.attention import attention
-from open_pandora_tpu.ops.norms import group_norm, layer_norm
+from open_pandora_tpu.ops.norms import layer_norm
 
 
 class GroupNorm32(nn.Module):
     """GN(32) with fp32 stats. eps 1e-5 in ResBlocks (torch default,
-    basics.py:76-88), 1e-6 in transformer pre-norms (attention.py:265,330)."""
+    basics.py:76-88), 1e-6 in transformer pre-norms (attention.py:265,330).
+
+    bf16 activations on TPU route through the fused single-pass
+    Pallas GN+SiLU kernel (ops/fused_norms.py); fp32 (golden mode), CPU
+    and oversized slabs keep the exact two-pass XLA lowering."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, silu: bool = False):
+        from open_pandora_tpu.ops.fused_norms import fused_group_norm_silu
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm(x, scale, bias, num_groups=32, eps=self.eps, silu=silu)
+        return fused_group_norm_silu(x, scale, bias, num_groups=32,
+                                     eps=self.eps, silu=silu)
 
 
 class LayerNorm(nn.Module):

@@ -1,0 +1,100 @@
+"""Fused GroupNorm+SiLU Pallas kernel vs the XLA twin (interpreter mode),
+including the custom-VJP training path and the eligibility gating."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import open_pandora_tpu.ops.fused_norms as fn
+from open_pandora_tpu.ops.norms import group_norm
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fn.pl, "pallas_call",
+                        functools.partial(fn.pl.pallas_call, interpret=True))
+
+
+@pytest.mark.parametrize("shape,groups,silu", [
+    ((3, 8, 16, 64), 32, True),     # ResBlock-like NHWC
+    ((2, 40, 64), 8, True),         # pre-flattened (N, L, C)
+    ((2, 4, 6, 8, 64), 16, False),  # TemporalConvBlock-like (b,t,h,w,c)
+])
+def test_fused_gn_matches_xla(shape, groups, silu):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape) * 3.0
+    c = shape[-1]
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (c,))
+    b = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (c,))
+    out = fn.fused_group_norm_silu(x, s, b, num_groups=groups, silu=silu,
+                                   force=True)
+    ref = group_norm(x, s, b, num_groups=groups, silu=silu)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_gn_bf16_realistic():
+    """The shipped path: bf16 activations at residual-stream scale, UNet
+    site shape (C=320 non-lane-aligned)."""
+    x = (jax.random.normal(jax.random.PRNGKey(0), (2, 20, 32, 320))
+         * 5.0).astype(jnp.bfloat16)
+    s = (1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (320,)))
+    b = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (320,))
+    out = fn.fused_group_norm_silu(x, s, b, num_groups=32, silu=True,
+                                   force=True)
+    ref = group_norm(x, s, b, num_groups=32, silu=True)
+    diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    denom = max(float(np.abs(np.asarray(ref, np.float32)).mean()), 1e-6)
+    assert diff.max() / denom < 3e-2
+
+
+def test_fused_gn_grad_matches_xla():
+    """custom_vjp backward == XLA twin gradient (training path)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 8, 64))
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (64,))
+    b = jnp.zeros((64,))
+
+    def loss_fused(x, s, b):
+        return jnp.sum(fn.fused_group_norm_silu(
+            x, s, b, num_groups=16, silu=True, force=True) ** 2)
+
+    def loss_xla(x, s, b):
+        return jnp.sum(group_norm(x, s, b, num_groups=16, silu=True) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, s, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, s, b)
+    for a, r in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_gating_falls_back(monkeypatch):
+    # fp32 input -> XLA twin even when 'available'
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 64))
+    s, b = jnp.ones((64,)), jnp.zeros((64,))
+    monkeypatch.setattr(fn, "_fused_gn_available", lambda: True)
+    called = {}
+    real = fn._fused_gn
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(fn, "_fused_gn", spy)
+    out = fn.fused_group_norm_silu(x, s, b, num_groups=16)
+    assert "hit" not in called  # fp32 stays on the exact XLA path
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(group_norm(x, s, b, num_groups=16)),
+        atol=1e-6)
+    # oversized slab falls back too
+    monkeypatch.setattr(fn, "_MAX_SLAB_ELEMS", 4)
+    xb = x.astype(jnp.bfloat16)
+    fn.fused_group_norm_silu(xb, s, b, num_groups=16)
+    assert "hit" not in called
+
+
+def test_env_var_disables(monkeypatch):
+    monkeypatch.setenv("PANDORA_DISABLE_FUSED", "1")
+    assert not fn._fused_gn_available()
