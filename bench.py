@@ -1,20 +1,26 @@
-"""Benchmark: seconds per 2s 320x512 16-frame DDIM-50 clip (UNet denoising
-loop, batched-CFG) on one TPU chip.
+"""Benchmark: the FULL product clip — LLM conditioning + DDIM-50 sampling
+(batched CFG, incl. OpenCLIP image/text encoders + Resampler) + chunked VAE
+decode — for one 2s 320x512 16-frame round on one TPU chip, the path a
+ChatWM round actually runs (reference model.py:1007-1048).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "breakdown"}.
+breakdown adds frames/sec/chip, the per-phase seconds, and 576x1024 DDIM-50 +
+5-round-session estimates (BASELINE.md targets table).
 
 Timing methodology: the axon tunnel's block_until_ready acks dispatch, not
-completion, so iterations are chained through a data dependency and the run
-ends with a host fetch (see memory: axon-benchmark-quirk).
+completion, so iterations are chained through a data dependency and each
+phase ends with a host fetch (see memory: axon-tpu-quirks).
 
 vs_baseline: the reference publishes no wall-clock numbers (SURVEY.md §6);
 the north-star target is "under H100 wall-clock per DDIM-50 sample". We use
-60 s/clip as the H100-reference proxy (50 steps x 2 sequential UNet evals on
-the 1.4B UNet3D; DynamiCrafter-512 community-reported H100 numbers are
-~45-75 s) — vs_baseline = baseline_sec / our_sec (>1 means faster).
+60 s/clip as the H100-reference proxy for the full path (DynamiCrafter-512
+community-reported end-to-end H100 timings are ~45-75 s; the reference's own
+instrumentation, inference.py:284, times the same span) — vs_baseline =
+baseline_sec / our_sec (>1 means faster).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -23,35 +29,158 @@ import numpy as np
 
 BASELINE_SEC_PER_CLIP = 60.0
 DDIM_STEPS = 50
+H, W = 320, 512
+T_FRAMES = 16
+BUDGET_S = float(os.environ.get("PANDORA_BENCH_BUDGET_S", "1500"))
+FAST = os.environ.get("PANDORA_BENCH_FAST", "") == "1"
+
+_t_start = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _t_start
 
 
 def main():
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
-    import __graft_entry__ as ge
 
-    fn, args = ge.entry()
-    jfn = jax.jit(fn)
+    from open_pandora_tpu.core.config import PandoraConfig
+    from open_pandora_tpu.models.world_model import WorldModel, round1_prompt
 
-    # compile + warm
-    y = jfn(*args)
-    np.asarray(y[0, 0, 0, 0])
+    cfg = PandoraConfig()
+    # the deployment configuration: bf16 diffusion stack + int8 LLaMA
+    # (models/quant.py) — the full composite fits one 16 GB chip
+    wm = WorldModel(cfg, dtype=jnp.bfloat16, quantize_llm=True)
 
-    params, x, t, ctx, z_cond, fs = args
-    iters = 10
-    start = time.perf_counter()
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda: wm.init_params(key, height=H, width=W))()
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+
+    # --- product inputs (shapes exactly as ChatWM round 1 builds them)
+    tower = cfg.clip_tower.image_size
+    images = jnp.ones((1, 1, tower, tower, 3), jnp.bfloat16) * 0.1
+    bucket = 16  # ChatWM.TEXT_BUCKETS[0]
+    ids = np.zeros((1, bucket), np.int32)
+    ids[0, :6] = [1, 4931, 882, 1201, 3204, 17]
+    mask = np.zeros((1, bucket), bool)
+    mask[0, :6] = True
+    prompt = round1_prompt(jnp.asarray(ids), images=images,
+                           prefix_len=cfg.connector.image_prefix_length,
+                           text_mask=jnp.asarray(mask))
+    cond_images = jnp.ones((1, H, W, 3), jnp.bfloat16) * 0.5
+    cond_frames = jnp.ones((1, 1, H, W, 3), jnp.bfloat16) * 0.1
+
+    # --- phase 1: LLM conditioning (CLIP tower + DPC-KNN + 7B prefill +
+    # QFormer connector; model.py:616-686)
+    cond_fn = jax.jit(lambda p, pr: wm.get_diffusion_conditioning(p, pr))
+    cond = cond_fn(params, prompt)
+    np.asarray(cond[0, 0, 0, 0])
+    iters = 4
+    t0 = time.perf_counter()
+    pr = prompt
     for _ in range(iters):
-        y = jfn(params, x, t, ctx, z_cond, fs)
-        x = y  # dependency chain (out channels == latent channels)
-    np.asarray(y[0, 0, 0, 0])  # true sync
-    per_eval = (time.perf_counter() - start) / iters
+        cond = cond_fn(params, pr)
+        pr = jax.tree_util.tree_map(lambda x: x, pr)
+        pr.images = pr.images + (cond.sum() * 0).astype(pr.images.dtype)
+    np.asarray(cond[0, 0, 0, 0])
+    t_cond = (time.perf_counter() - t0) / iters
 
-    sec_per_clip = per_eval * DDIM_STEPS
+    # --- phase 2: DDIM-50 sampling (batched CFG; includes OpenCLIP text +
+    # image encoders, Resampler, VAE cond encode; model.py:703-781)
+    def synth(p, text_ctx, ci, cf, k):
+        return wm.diffusion.image_guided_synthesis(
+            p, text_context=text_ctx, cond_images=ci, cond_frames=cf,
+            key=k, ddim_steps=DDIM_STEPS,
+            guidance_scale=cfg.sampler.guidance_scale, eta=1.0, fs=15)
+
+    synth_fn = jax.jit(synth)
+    text_ctx = cond[:, -1]
+    z = synth_fn(params, text_ctx, cond_images, cond_frames,
+                 jax.random.PRNGKey(1))
+    np.asarray(z[0, 0, 0, 0])
+    iters = 2
+    t0 = time.perf_counter()
+    ci = cond_images
+    for i in range(iters):
+        z = synth_fn(params, text_ctx, ci, cond_frames,
+                     jax.random.PRNGKey(2 + i))
+        ci = ci + (z.sum() * 0).astype(ci.dtype)
+    np.asarray(z[0, 0, 0, 0])
+    t_synth = (time.perf_counter() - t0) / iters
+
+    # --- phase 3: chunked VAE decode (perframe_ae equivalent; 8-frame
+    # chunks at 320x512, pipeline/chat_wm.py:119-123)
+    dec_fn = jax.jit(lambda p, zz: wm.diffusion.decode(p, zz, frame_chunk=8))
+    video = dec_fn(params, z)
+    np.asarray(video[0, 0, 0, 0, 0])
+    iters = 2
+    t0 = time.perf_counter()
+    zz = z
+    for _ in range(iters):
+        video = dec_fn(params, zz)
+        zz = zz + (video.sum() * 0).astype(zz.dtype)
+    np.asarray(video[0, 0, 0, 0, 0])
+    t_dec = (time.perf_counter() - t0) / iters
+
+    t_clip = t_cond + t_synth + t_dec
+    breakdown = {
+        "conditioning_s": round(t_cond, 3),
+        "sampling_ddim50_s": round(t_synth, 3),
+        "vae_decode_s": round(t_dec, 3),
+        "frames_per_sec_per_chip": round(T_FRAMES / t_clip, 3),
+        "five_round_session_est_s": round(5 * t_clip, 2),
+    }
+
+    # --- optional: 576x1024 (config 3) — per-step UNet eval + chunked
+    # decode, extrapolated to DDIM-50 (full synthesis at 1024 would double
+    # the bench compile budget for the same information)
+    if not FAST and _elapsed() < BUDGET_S - 300:
+        hh, ww = 576, 1024
+        hz, wz = hh // 8, ww // 8
+        Tt = cfg.unet.temporal_length
+        xh = jnp.zeros((2, Tt, hz, wz, cfg.unet.in_channels), jnp.bfloat16)
+        ctxh = jnp.zeros((2, cfg.unet.text_context_len
+                          + Tt * cfg.unet.img_tokens_per_frame,
+                          cfg.unet.context_dim), jnp.bfloat16)
+        th = jnp.full((2,), 500, jnp.int32)
+        fsh = jnp.full((2,), 15, jnp.int32)
+        step_fn = jax.jit(lambda p, x: wm.diffusion.unet.apply(
+            p["unet"], x, th, ctxh, fs=fsh))
+        y = step_fn(params, xh)
+        np.asarray(y[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        x_in = xh
+        reps = cfg.unet.in_channels // cfg.unet.out_channels
+        for _ in range(3):
+            y = step_fn(params, x_in)
+            x_in = jnp.concatenate([y] * reps, axis=-1)
+        np.asarray(y[0, 0, 0, 0])
+        t_step_h = (time.perf_counter() - t0) / 3
+
+        zh = jnp.zeros((1, Tt, hz, wz, 4), jnp.bfloat16)
+        dec_h = jax.jit(lambda p, zz: wm.diffusion.decode(p, zz,
+                                                          frame_chunk=2))
+        vh = dec_h(params, zh)
+        np.asarray(vh[0, 0, 0, 0, 0])
+        t0 = time.perf_counter()
+        zz = zh
+        for _ in range(2):
+            vh = dec_h(params, zz)
+            zz = zz + (vh.sum() * 0).astype(zz.dtype)
+        np.asarray(vh[0, 0, 0, 0, 0])
+        t_dec_h = (time.perf_counter() - t0) / 2
+        breakdown["hires_576x1024_ddim50_est_s"] = round(
+            t_cond + DDIM_STEPS * t_step_h + t_dec_h, 2)
+        breakdown["hires_unet_eval_s"] = round(t_step_h, 3)
+        breakdown["hires_decode_s"] = round(t_dec_h, 3)
+
     out = {
-        "metric": "sec_per_2s_320x512_16f_ddim50_clip",
-        "value": round(sec_per_clip, 3),
+        "metric": "sec_per_full_2s_320x512_16f_ddim50_clip",
+        "value": round(t_clip, 3),
         "unit": "s/clip",
-        "vs_baseline": round(BASELINE_SEC_PER_CLIP / sec_per_clip, 3),
+        "vs_baseline": round(BASELINE_SEC_PER_CLIP / t_clip, 3),
+        "breakdown": breakdown,
     }
     print(json.dumps(out))
 

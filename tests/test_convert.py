@@ -5,6 +5,8 @@ transform unit tests and tree-structure checks."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

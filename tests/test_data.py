@@ -11,6 +11,8 @@ from open_pandora_tpu.data.webvid import (PrefetchLoader, SyntheticVideoDataset,
 from open_pandora_tpu.pipeline.tokenizers import load_tokenizer
 from open_pandora_tpu.utils.video_io import write_video
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 
 def test_synthetic_dataset_contract():
     ds = SyntheticVideoDataset(video_length=4, resolution=(32, 64),

@@ -13,6 +13,8 @@ from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
 from open_pandora_tpu.models.encoders import (CLIPTextEncoder, clip_preprocess,
                                               empty_prompt_tokens)
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 T = 4
 TINY = PandoraConfig(
     vae=VAEConfig(base_channels=32, channel_mult=(1, 2), num_res_blocks=1),

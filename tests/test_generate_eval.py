@@ -1,6 +1,7 @@
 """LLM decode + eval/tools surfaces: KV-cache greedy generation parity with
 full-recompute argmax, QA runner, converter CLI, profiling utils."""
 
+import pytest
 import json
 import subprocess
 import sys
@@ -12,6 +13,8 @@ import numpy as np
 from open_pandora_tpu.models.llama import LlamaForCausalLM
 from open_pandora_tpu.models.llama_generate import greedy_generate
 from tests.test_llm_stack import TINY_LLAMA
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
 
 ENV = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
        "JAX_PLATFORMS": "cpu", "HOME": "/root"}

@@ -12,6 +12,8 @@ from open_pandora_tpu.train.llm_step import (IGNORE_INDEX, build_labels,
 from open_pandora_tpu.train.step import TrainState
 from tests.test_llm_stack import tiny_wm  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 
 def _prompt_and_labels(wm):
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 28, 28, 3))

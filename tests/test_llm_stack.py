@@ -20,6 +20,8 @@ from open_pandora_tpu.models.world_model import (ImageSegment, MultimodalPrompt,
                                                  round1_prompt)
 from tests.test_dynamicrafter import TINY as TINY_DC, H, W
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 
 # ---------------------------------------------------------------------------
 # clustering
@@ -138,10 +140,9 @@ def test_connector_shapes():
     assert rows.shape == (4, 64)
 
 
-@pytest.fixture(scope="module")
-def tiny_wm():
+def tiny_wm_cfg():
     import dataclasses
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         TINY_DC,
         llama=TINY_LLAMA,
         clip_tower=CLIPTowerConfig(image_size=28, patch_size=14, width=64,
@@ -150,9 +151,18 @@ def tiny_wm():
         qformer=TINY_QF,
         connector=TINY_CONN,
     )
+
+
+def tiny_wm_fixture():
+    cfg = tiny_wm_cfg()
     wm = WorldModel(cfg)
     params = wm.init_params(jax.random.PRNGKey(0), height=H, width=W)
     return wm, params
+
+
+@pytest.fixture(scope="module")
+def tiny_wm():
+    return tiny_wm_fixture()
 
 
 def test_conditioning_single_round(tiny_wm):

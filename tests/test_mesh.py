@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,8 @@ from open_pandora_tpu.parallel.mesh import (
     shard_batch,
     zero2_opt_spec,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
 
 
 def test_mesh_has_8_devices(mesh8):

@@ -15,6 +15,8 @@ from open_pandora_tpu.pipeline.tokenizers import (HashFallbackTokenizer,
 from open_pandora_tpu.utils.video_io import (concat_rounds, frames_to_uint8,
                                              read_video_frames, write_video)
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 
 def _img(w=100, h=60):
     rng = np.random.RandomState(0)

@@ -1,5 +1,6 @@
 """int8 weight-only LLaMA quantization tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from open_pandora_tpu.models.llama import LlamaForCausalLM
 from open_pandora_tpu.models.quant import (quantize_kernel,
                                            quantize_llama_params, tree_nbytes)
 from tests.test_llm_stack import TINY_LLAMA
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
 
 
 def test_quantize_kernel_roundtrip():

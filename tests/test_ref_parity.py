@@ -39,7 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from open_pandora_tpu.core import convert as C  # noqa: E402
 
-pytestmark = pytest.mark.refparity
+pytestmark = [pytest.mark.refparity, pytest.mark.slow]
 
 
 def rerandomize_(module: "torch.nn.Module", seed: int) -> None:

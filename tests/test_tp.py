@@ -12,6 +12,8 @@ from open_pandora_tpu.parallel.tp import (llama_param_shardings,
                                           shard_llama_params)
 from tests.test_llm_stack import TINY_LLAMA
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 
 @pytest.fixture(scope="module")
 def mesh24(cpu_devices):

@@ -12,6 +12,8 @@ from open_pandora_tpu.train.optim import make_optimizer, trainable_partition
 from tests.test_dynamicrafter import TINY, H, W, T
 from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 TCFG = TrainConfig(learning_rate=1e-4, uncond_prob=0.1, grad_clip_norm=0.5,
                    max_steps=100)
 

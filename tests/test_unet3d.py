@@ -8,6 +8,8 @@ import pytest
 from open_pandora_tpu.core.config import UNet3DConfig
 from open_pandora_tpu.models.unet3d import UNetModel
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 TINY = UNet3DConfig(
     in_channels=8, out_channels=4, model_channels=64,
     channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(1,),

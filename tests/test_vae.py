@@ -9,6 +9,8 @@ from open_pandora_tpu.core.config import VAEConfig
 from open_pandora_tpu.models.vae import (
     AutoencoderKL, DiagonalGaussian, decode_video, encode_video)
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 TINY = VAEConfig(base_channels=32, channel_mult=(1, 2), num_res_blocks=1,
                  z_channels=4, embed_dim=4)
 
