@@ -54,7 +54,9 @@ def main():
     wm = WorldModel(cfg, dtype=jnp.bfloat16, quantize_llm=True)
 
     key = jax.random.PRNGKey(0)
-    params = jax.jit(lambda: wm.init_params(key, height=H, width=W))()
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        wm.init_params(key, height=H, width=W)))()
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
 
     # --- product inputs (shapes exactly as ChatWM round 1 builds them)
@@ -136,6 +138,10 @@ def main():
     # decode, extrapolated to DDIM-50 (full synthesis at 1024 would double
     # the bench compile budget for the same information)
     if not FAST and _elapsed() < BUDGET_S - 300:
+        # free the LLM/encoder weights + 320x512 intermediates: the hi-res
+        # phase needs only UNet+VAE, and HBM is tight at 576x1024 decode
+        params = {"unet": params["unet"], "vae": params["vae"]}
+        del cond, z, zz, video, ci, text_ctx, pr
         hh, ww = 576, 1024
         hz, wz = hh // 8, ww // 8
         Tt = cfg.unet.temporal_length

@@ -36,44 +36,74 @@ from jax.experimental.pallas import tpu as pltpu
 
 from open_pandora_tpu.ops.norms import group_norm as _xla_group_norm
 
-# double-buffered bf16 in+out slabs must fit VMEM: 4 * L*C * 2B <= ~12 MB
-_MAX_SLAB_ELEMS = 2 ** 21
+# bf16 in+out slabs (double-buffered) + per-chunk fp32 temps must fit
+# ~16 MB VMEM: ~8 bytes/element of slab + slack
+_MAX_SLAB_ELEMS = 3 * 2 ** 19
 
 
-def _kernel(x_ref, s_ref, b_ref, o_ref, *, groups: int, eps: float,
-            silu: bool):
-    x = x_ref[0]                                   # (L, C)
-    xf = x.astype(jnp.float32)
-    L, C = xf.shape
+def _row_chunk(L: int, C: int) -> int:
+    """Largest divisor of L whose fp32 chunk (rows x C) stays <= 0.5 MB —
+    keeps the kernel's per-chunk temps small relative to the slab
+    (static, host-side)."""
+    target = max(min(131072 // C, L), 8)
+    best = 1
+    for c in range(1, min(target, L) + 1):
+        if L % c == 0:
+            best = c
+    return best
+
+
+def _kernel(x_ref, s_ref, b_ref, o_ref, m1_scr, m2_scr, *, groups: int,
+            eps: float, silu: bool, chunk: int):
+    """Two chunked passes over the VMEM-resident (L, C) slab: accumulate
+    per-channel moments, fold to group stats via a one-hot matmul, then
+    normalize+affine+SiLU chunk-by-chunk. fp32 temps exist only at chunk
+    granularity, so VMEM stays ~2 bytes/element + O(chunk*C)."""
+    L, C = x_ref.shape[1], x_ref.shape[2]
     cg = C // groups
+    n_chunks = L // chunk
 
-    s1 = jnp.sum(xf, axis=0, keepdims=True)        # (1, C)
-    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)   # (1, C)
+    def acc(i, _):
+        xi = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        m1_scr[...] += jnp.sum(xi, axis=0, keepdims=True)
+        m2_scr[...] += jnp.sum(xi * xi, axis=0, keepdims=True)
+        return 0
+
+    m1_scr[...] = jnp.zeros_like(m1_scr)
+    m2_scr[...] = jnp.zeros_like(m2_scr)
+    jax.lax.fori_loop(0, n_chunks, acc, 0)
 
     # channel -> group one-hot (C, G); group moments via MXU
     ch = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0)
     gr = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
     M = (ch // cg == gr).astype(jnp.float32)
     n = float(L * cg)
-    mu_g = jax.lax.dot(s1, M, preferred_element_type=jnp.float32) / n
-    ex2_g = jax.lax.dot(s2, M, preferred_element_type=jnp.float32) / n
+    mu_g = jax.lax.dot(m1_scr[...], M, preferred_element_type=jnp.float32) / n
+    ex2_g = jax.lax.dot(m2_scr[...], M, preferred_element_type=jnp.float32) / n
     inv_g = jax.lax.rsqrt(jnp.maximum(ex2_g - mu_g * mu_g, 0.0) + eps)
 
-    # broadcast back to channels: (1, G) @ (G, C)
+    # broadcast back to channels: (1, G) @ (G, C), fold in scale/bias
     mu_c = jax.lax.dot(mu_g, M.T, preferred_element_type=jnp.float32)
     inv_c = jax.lax.dot(inv_g, M.T, preferred_element_type=jnp.float32)
+    k = inv_c * s_ref[0].astype(jnp.float32)           # (1, C)
+    b = b_ref[0].astype(jnp.float32) - mu_c * k
 
-    y = (xf - mu_c) * inv_c * s_ref[0].astype(jnp.float32) \
-        + b_ref[0].astype(jnp.float32)
-    if silu:
-        y = y * jnp.reciprocal(1.0 + jnp.exp(-y))
-    o_ref[0] = y.astype(o_ref.dtype)
+    def norm(i, _):
+        xi = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        y = xi * k + b
+        if silu:
+            y = y * jnp.reciprocal(1.0 + jnp.exp(-y))
+        o_ref[0, pl.ds(i * chunk, chunk), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm, 0)
 
 
 def _fused_forward(x3, scale, bias, *, groups: int, eps: float, silu: bool):
     N, L, C = x3.shape
     return pl.pallas_call(
-        functools.partial(_kernel, groups=groups, eps=eps, silu=silu),
+        functools.partial(_kernel, groups=groups, eps=eps, silu=silu,
+                          chunk=_row_chunk(L, C)),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, L, C), lambda i: (i, 0, 0)),
@@ -82,6 +112,10 @@ def _fused_forward(x3, scale, bias, *, groups: int, eps: float, silu: bool):
         ],
         out_specs=pl.BlockSpec((1, L, C), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+        ],
     )(x3, scale[None], bias[None])
 
 
@@ -121,7 +155,8 @@ def _on_tpu() -> bool:
 def _fused_gn_available() -> bool:
     import os
 
-    if os.environ.get("PANDORA_DISABLE_FUSED"):
+    if os.environ.get("PANDORA_DISABLE_FUSED") or \
+            os.environ.get("PANDORA_DISABLE_FUSED_GN"):
         return False
     return _on_tpu()
 
