@@ -161,21 +161,50 @@ class _LNParams(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU FF (attention.py:412-437): Dense(2*4d) -> gelu-gate -> Dense(d)."""
+    """GEGLU FF (attention.py:412-437): Dense(2*4d) -> gelu-gate -> Dense(d).
+
+    At 576x1024 the temporal-site FF intermediate is (9216, 16, 2*4*1280) =
+    1.5G elements — the single biggest HBM temp in the training backward
+    (it OOMed the 16 GB chip). When the intermediate exceeds the threshold
+    the leading token axis is processed in chunks sharing one set of Dense
+    params; remat then recomputes per chunk, bounding live activations."""
 
     mult: int = 4
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
+    # elements of the GEGLU intermediate above which chunking kicks in
+    # (256M elems = 512 MB bf16); chunks target <= 128M elems each
+    CHUNK_THRESHOLD = 256 * 2 ** 20
+    CHUNK_TARGET = 128 * 2 ** 20
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
         inner = d * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate, approximate=False)  # torch F.gelu is erf
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(d, dtype=self.dtype, name="net_2")(h)
+        proj_in = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")
+        proj_out = nn.Dense(d, dtype=self.dtype, name="net_2")
+
+        def ff(chunk):
+            h = proj_in(chunk)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * jax.nn.gelu(gate, approximate=False)  # torch F.gelu: erf
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            return proj_out(h)
+
+        n = x.shape[0]
+        elems = n * x.shape[1] * inner * 2
+        if elems <= self.CHUNK_THRESHOLD:
+            return ff(x)
+        chunks = 2
+        while elems // chunks > self.CHUNK_TARGET and (
+                n % (chunks * 2) == 0):
+            chunks *= 2
+        if n % chunks:
+            return ff(x)
+        step = n // chunks
+        return jnp.concatenate(
+            [ff(x[i * step:(i + 1) * step]) for i in range(chunks)], axis=0)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -342,6 +342,32 @@ def _pick_block(n: int, target: int) -> int:
     return best
 
 
+_VMEM_BUDGET = 10 * 2 ** 20  # leave headroom under the 16 MB scoped limit
+
+
+def _fwd_vmem_bytes(bq: int, bk: int, d: int) -> int:
+    """Rough VMEM model of the fwd kernel: double-buffered q/k/v/o blocks,
+    fp32 scores, fp32 accumulator + lane-replicated stats."""
+    return (2 * bq * d * 2 + 2 * 2 * bk * d * 2 + 2 * bq * d * 2
+            + bq * bk * 4 + bq * d * 4 + 3 * bq * LANES * 4)
+
+
+def _fit_blocks(block_q: int, block_k: int, d: int):
+    """Shrink blocks (staying lane-multiples) until the kernel fits scoped
+    VMEM — the defaults are tuned for D=64 heads; the VAE mid-attention
+    runs ONE 512-dim head over 9216 tokens and needs much smaller tiles."""
+    def shrink(b):
+        return max((b // 2) // LANES * LANES, LANES)
+
+    while (_fwd_vmem_bytes(block_q, block_k, d) > _VMEM_BUDGET
+           and block_k > LANES):
+        block_k = shrink(block_k)
+    while (_fwd_vmem_bytes(block_q, block_k, d) > _VMEM_BUDGET
+           and block_q > LANES):
+        block_q = shrink(block_q)
+    return block_q, block_k
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -368,6 +394,7 @@ def flash_attention(
 
     block_q = _pick_block(N, 512) if block_q is None else min(block_q, _ceil_to(N, LANES))
     block_k = _pick_block(M, 2560) if block_k is None else min(block_k, _ceil_to(M, LANES))
+    block_q, block_k = _fit_blocks(block_q, block_k, D)
     Np, Mp = _ceil_to(N, block_q), _ceil_to(M, block_k)
 
     qh = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)

@@ -119,24 +119,42 @@ def fused_temporal_self_attention(
 # The shipped UNet temporal sites (c == inner, heads = c/64): level channels
 # of the 320-base DynamiCrafter UNet (openaimodel3d.py:284 config).
 _SELFCHECK_SITES = ((320, 5), (640, 10))
-_SELFCHECK_TOL = 3e-2
+# the fused kernel may be at most this factor noisier than the bf16 XLA
+# twin it replaces, both measured against the fp32 reference
+_SELFCHECK_RATIO = 2.0
+_SELFCHECK_ABS_FLOOR = 1e-2
 
 
 def fused_selfcheck(t: int = 16, group: int = 32,
-                    tol: float = _SELFCHECK_TOL, seed: int = 0):
-    """Runtime accuracy gate: compare the fused kernel against its bf16 XLA
-    twin at realistic weight scales (LN gamma ~1, Xavier-scale projections,
-    residual-stream activations ~O(5)) on each shipped site shape. Returns
-    (ok, max_rel_err). Callers disable the fused path when not ok — the
-    'evidence gate' from round-1 review item 6."""
+                    ratio: float = _SELFCHECK_RATIO, seed: int = 0):
+    """Runtime accuracy gate, grounded in the bf16 noise floor: at
+    realistic weight scales (LN gamma ~1, Xavier-scale projections,
+    residual-stream activations ~O(5)) compute the fp32 reference, the
+    bf16 XLA twin, and the fused kernel on each shipped site shape. The
+    kernel passes when its error vs fp32 is within `ratio`x the XLA twin's
+    own bf16 error (+ a small absolute floor) — i.e. it adds no meaningful
+    noise beyond the precision the shipped bf16 path already accepts.
+    Returns (ok, worst_ratio). Callers disable the fused path when not ok
+    — the 'evidence gate' from round-1 review item 6."""
     from open_pandora_tpu.ops.attention_xla import mha_xla
     from open_pandora_tpu.ops.norms import layer_norm
 
-    max_err = 0.0
+    def chain(y, wq, wk, wv, wo, bo, g, b, heads, dh, dtype):
+        B, t, c = y.shape
+        yd = y.astype(dtype)
+        xn = layer_norm(yd, g.astype(dtype), b.astype(dtype),
+                        eps=1e-5).astype(dtype)
+        q = (xn @ wq.astype(dtype)).reshape(B, t, heads, dh)
+        k = (xn @ wk.astype(dtype)).reshape(B, t, heads, dh)
+        v = (xn @ wv.astype(dtype)).reshape(B, t, heads, dh)
+        out = mha_xla(q, k, v).reshape(B, t, -1) @ wo.astype(dtype)
+        return yd.astype(jnp.float32) + out.astype(jnp.float32) \
+            + bo.astype(jnp.float32)
+
+    worst = 0.0
     for c, heads in _SELFCHECK_SITES:
         dh = c // heads
-        key = jax.random.PRNGKey(seed)
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(jax.random.PRNGKey(seed), 8)
         B = group
         y = (jax.random.normal(ks[0], (B, t, c)) * 5.0).astype(jnp.bfloat16)
         std = c ** -0.5
@@ -149,17 +167,14 @@ def fused_selfcheck(t: int = 16, group: int = 32,
 
         fused = fused_temporal_self_attention(y, wq, wk, wv, wo, bo, g, b,
                                               heads=heads, group=group)
-        xn = layer_norm(y, g, b, eps=1e-5).astype(jnp.bfloat16)
-        q = (xn @ wq).reshape(B, t, heads, dh)
-        k = (xn @ wk).reshape(B, t, heads, dh)
-        v = (xn @ wv).reshape(B, t, heads, dh)
-        ref = y + ((mha_xla(q, k, v).reshape(B, t, c) @ wo).astype(
-            jnp.float32) + bo.astype(jnp.float32)).astype(jnp.bfloat16)
-        diff = jnp.abs(fused.astype(jnp.float32) - ref.astype(jnp.float32))
-        denom = jnp.maximum(jnp.abs(ref.astype(jnp.float32)).mean(), 1e-6)
-        err = float(diff.max() / denom)
-        max_err = max(max_err, err)
-    return max_err <= tol, max_err
+        ref32 = chain(y, wq, wk, wv, wo, bo, g, b, heads, dh, jnp.float32)
+        twin16 = chain(y, wq, wk, wv, wo, bo, g, b, heads, dh, jnp.bfloat16)
+        scale = float(jnp.abs(ref32).mean())
+        err_fused = float(jnp.abs(fused.astype(jnp.float32) - ref32).max())
+        err_twin = float(jnp.abs(twin16 - ref32).max())
+        floor = max(err_twin, _SELFCHECK_ABS_FLOOR * scale)
+        worst = max(worst, err_fused / floor)
+    return worst <= ratio, worst
 
 
 _SELFCHECK_DONE = False
@@ -183,12 +198,13 @@ def ensure_fused_accuracy() -> None:
         on_tpu = False
     if not on_tpu:
         return
-    ok, err = fused_selfcheck()
+    ok, ratio = fused_selfcheck()
     log = logging.getLogger("open_pandora_tpu.ops")
     if ok:
-        log.info("fused temporal kernel selfcheck ok (max rel err %.4f)", err)
+        log.info("fused temporal kernel selfcheck ok (%.2fx the bf16 twin's "
+                 "error vs fp32)", ratio)
     else:
         os.environ["PANDORA_DISABLE_FUSED"] = "1"
-        log.warning("fused temporal kernel selfcheck FAILED (max rel err "
-                    "%.4f > %.2f) — falling back to the XLA twin",
-                    err, _SELFCHECK_TOL)
+        log.warning("fused temporal kernel selfcheck FAILED (%.2fx the bf16 "
+                    "twin's error vs fp32, limit %.1fx) — falling back to "
+                    "the XLA twin", ratio, _SELFCHECK_RATIO)

@@ -1,15 +1,20 @@
 """High-res training proof point: one REAL-TPU finetune step at
 576x1024x16f (BASELINE.md config 3 resolution) with gradient checkpointing.
 
-Measures sec/step and device HBM after the step; prints one JSON line so
-the result can be recorded in BENCH/PARITY notes. The reference trains
-this resolution via config_finetune.yaml (1024x576, video_length 16,
-DeepSpeed ZeRO-2, 16-mixed) on multi-GPU nodes; this probe demonstrates the
-single-chip TPU step (dynamicrafter stage: UNet params + grads + AdamW
-state, bf16 params) fits and times it.
+The reference only ever trains this resolution sharded over multi-GPU
+nodes with DeepSpeed ZeRO-2 (config/config_finetune.yaml) — the optimizer
+state never lives on one device. On a single 16 GB chip the full in-step
+pipeline (VAE/CLIP encoders + UNet + AdamW) does not fit; the fitting
+configuration is the latent-cached step (train/step.py
+make_latent_finetune_step): frozen encoders run once outside the step, the
+step holds only UNet params (2.86 GB bf16) + bf16 AdamW moments (5.7 GB) +
+rematerialized activations. Multi-chip training uses the normal in-step
+pipeline with ZeRO-2 sharding (tests/test_train_step.py, dryrun_multichip).
 
-Usage: python tools/hires_train_probe.py [--height 576 --width 1024]
-       [--bf16-params] (default on; fp32 params need >16 GB at this res)
+Measures sec/step and HBM; prints one JSON line.
+
+Usage: python open_pandora_tpu/tools/hires_train_probe.py
+       [--height 576 --width 1024] [--steps 3]
 """
 
 import argparse
@@ -20,12 +25,76 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 
 
+def phase_precompute(args):
+    """Frozen-encoder conditioning in its OWN process: VAE-encode +
+    CLIP/Resampler context for one synthetic batch, saved as npz. Running
+    it separately leaves the training process's HBM unfragmented."""
+    from open_pandora_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_pandora_tpu.core.config import PandoraConfig
+    from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
+    from open_pandora_tpu.models.vae import encode_video
+
+    cfg = PandoraConfig()
+    model = DynamiCrafter(cfg, dtype=jnp.bfloat16)
+    H, W, T = args.height, args.width, cfg.unet.temporal_length
+    enc_params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        model.init_params(jax.random.PRNGKey(0), height=H, width=W)))()
+    jax.block_until_ready(jax.tree_util.tree_leaves(enc_params)[0])
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, T, H, W, 3),
+                               jnp.bfloat16) * 2 - 1
+
+    def precompute(params, video):
+        z = encode_video(model.vae, params["vae"], video,
+                         scale_factor=cfg.diffusion.scale_factor,
+                         key=jax.random.PRNGKey(2))
+        text_ctx = model.encode_text(params, jnp.zeros(
+            (1, cfg.clip_text.context_length), jnp.int32))
+        img_ctx = model.encode_image_context(params, (video[:, 0] + 1) / 2)
+        z_cond = model.get_latent_z(params, video[:, :1])
+        return z, jnp.concatenate([text_ctx, img_ctx], axis=1), z_cond
+
+    z, ctx, z_cond = jax.jit(precompute)(enc_params, video)
+    np.savez(args.latents,
+             z=np.asarray(z, np.float32),
+             ctx=np.asarray(ctx, np.float32),
+             z_cond=np.asarray(z_cond, np.float32))
+    print(f"[precompute] wrote {args.latents}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=576)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--latents", default="/tmp/hires_latents.npz")
+    p.add_argument("--phase", choices=["precompute", "train", "both"],
+                   default="both")
+    p.add_argument("--offload-opt", action="store_true", default=True,
+                   help="AdamW moments in pinned host memory (the "
+                        "single-chip-fitting configuration at 576x1024)")
+    p.add_argument("--no-offload-opt", dest="offload_opt",
+                   action="store_false")
     args = p.parse_args()
+
+    if args.phase == "precompute":
+        return phase_precompute(args)
+    if args.phase == "both":
+        import os
+        import subprocess
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--phase", "precompute", "--height", str(args.height),
+             "--width", str(args.width), "--latents", args.latents],
+            cwd="/root/repo").returncode
+        if rc != 0:
+            raise RuntimeError(f"precompute phase failed rc={rc}")
 
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -36,42 +105,53 @@ def main():
 
     from open_pandora_tpu.core.config import PandoraConfig, TrainConfig
     from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
-    from open_pandora_tpu.train.step import TrainState, make_finetune_step
+    from open_pandora_tpu.train.step import (TrainState,
+                                             make_latent_finetune_step)
 
     cfg = PandoraConfig()
     assert cfg.unet.use_checkpoint, "remat must be on for 1024 training"
     model = DynamiCrafter(cfg, dtype=jnp.bfloat16)
     H, W, T = args.height, args.width, cfg.unet.temporal_length
 
-    params = jax.jit(lambda: jax.tree_util.tree_map(
+    data = np.load(args.latents)
+    z = jnp.asarray(data["z"], jnp.bfloat16)
+    ctx = jnp.asarray(data["ctx"], jnp.bfloat16)
+    z_cond = jnp.asarray(data["z_cond"], jnp.bfloat16)
+
+    unet_params = {"unet": jax.jit(lambda: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        model.init_params(jax.random.PRNGKey(0), height=H, width=W)))()
-    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+        model.unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, T, args.height // 8, args.width // 8,
+                       cfg.unet.in_channels), jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, cfg.unet.text_context_len
+                       + T * cfg.unet.img_tokens_per_frame,
+                       cfg.unet.context_dim), jnp.bfloat16))))()}
+    jax.block_until_ready(jax.tree_util.tree_leaves(unet_params)[0])
 
-    tcfg = TrainConfig(learning_rate=5e-5, uncond_prob=0.1, max_steps=10,
+    tcfg = TrainConfig(learning_rate=5e-5, uncond_prob=0.0, max_steps=10,
                        grad_clip_norm=0.5)
-    step, tx = make_finetune_step(model, tcfg)
-    state = TrainState.create(params, "dynamicrafter", tx)
-
-    k = jax.random.PRNGKey(1)
-    batch = {
-        "video": jax.random.uniform(k, (1, T, H, W, 3), jnp.bfloat16) * 2 - 1,
-        "cond_frames": jax.random.uniform(k, (1, 1, H, W, 3),
-                                          jnp.bfloat16) * 2 - 1,
-        "cond_images": jax.random.uniform(k, (1, H, W, 3), jnp.bfloat16),
-        "text_tokens": jnp.zeros((1, cfg.clip_text.context_length),
-                                 jnp.int32),
-        "fps": jnp.full((1,), 8, jnp.int32),
-    }
+    if args.offload_opt:
+        # params (2.86G) + moments (5.7G) + remat temps (~6.6G) + runtime
+        # overhead exceeds the 15.75G HBM; moments move to pinned host
+        from open_pandora_tpu.train.step import make_offloaded_latent_step
+        step, tx, put_state = make_offloaded_latent_step(model, tcfg)
+    else:
+        step, tx = make_latent_finetune_step(model, tcfg)
+        put_state = lambda s: s
+    state = put_state(TrainState.create(unet_params, "dynamicrafter", tx))
+    batch = {"z": z, "ctx": ctx, "z_cond": z_cond,
+             "fps": jnp.full((1,), 8, jnp.int32)}
 
     t0 = time.perf_counter()
-    state, m = step(state, batch, jax.random.PRNGKey(2))
+    state, m = step(state, batch, jax.random.PRNGKey(3))
     loss0 = float(m["loss"])  # host fetch = sync (compile + step)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    key = jax.random.PRNGKey(3)
-    for i in range(args.steps):
+    key = jax.random.PRNGKey(4)
+    for _ in range(args.steps):
         key, sub = jax.random.split(key)
         state, m = step(state, batch, sub)
     loss = float(m["loss"])  # chained through state -> true sync
@@ -86,7 +166,7 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": f"finetune_step_{H}x{W}x{T}f_bs1",
+        "metric": f"latent_finetune_step_{H}x{W}x{T}f_bs1",
         "sec_per_step": round(per_step, 3),
         "compile_s": round(compile_s, 1),
         "loss_first": round(loss0, 4), "loss_last": round(loss, 4),

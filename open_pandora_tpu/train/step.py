@@ -146,6 +146,86 @@ def make_wm_finetune_step(wm, tcfg: TrainConfig,
                               stage="finetune", loss_fn=loss_fn)
 
 
+def make_offloaded_latent_step(model: DynamiCrafter, tcfg: TrainConfig):
+    """Single-device latent finetune step with the AdamW moments resident
+    in PINNED HOST memory (jax memories API) — the TPU-native analog of
+    ZeRO-offload. XLA streams the moments across PCIe around the update;
+    the step gets slower but the HBM footprint drops by the full optimizer
+    state (5.7 GB for the bf16 UNet), which is what lets 576x1024x16f
+    training fit a single 16 GB chip. Multi-chip training should prefer
+    ZeRO-2 sharding (zero2_opt_spec) instead.
+
+    Returns (step, tx, put_state) — run `state = put_state(state)` once to
+    move the moments to host before stepping."""
+    import jax.sharding as jsh
+
+    base_step, tx = make_latent_finetune_step(model, tcfg)
+    dev = jax.devices()[0]
+    on_dev = jsh.SingleDeviceSharding(dev)
+    on_host = jsh.SingleDeviceSharding(dev, memory_kind="pinned_host")
+
+    def state_shardings(state: TrainState) -> TrainState:
+        return TrainState(
+            step=on_dev,
+            trainable=jax.tree_util.tree_map(lambda _: on_dev,
+                                             state.trainable),
+            frozen=jax.tree_util.tree_map(lambda _: on_dev, state.frozen),
+            opt_state=jax.tree_util.tree_map(lambda _: on_host,
+                                             state.opt_state),
+        )
+
+    cache = {}
+
+    def step(state, batch, key):
+        if "fn" not in cache:
+            ss = state_shardings(state)
+            bs = jax.tree_util.tree_map(lambda _: on_dev, batch)
+            cache["fn"] = jax.jit(base_step.raw_step,
+                                  in_shardings=(ss, bs, on_dev),
+                                  out_shardings=(ss, None))
+        return cache["fn"](state, batch, key)
+
+    def put_state(state: TrainState) -> TrainState:
+        ss = state_shardings(state)
+        return jax.tree_util.tree_map(jax.device_put, state, ss)
+
+    return step, tx, put_state
+
+
+def make_latent_finetune_step(model: DynamiCrafter, tcfg: TrainConfig,
+                              mesh_spec: Optional[MeshSpec] = None):
+    """Finetune step over PRECOMPUTED latents + conditioning: batch =
+    {z (b,T,hz,wz,4), ctx (b,L,ctx_dim), z_cond (b,T,hz,wz,4), fps (b,)}.
+
+    Everything in the loss except the UNet is frozen (model.py:951-965
+    optimizer param groups), so the VAE/CLIP encoders can run once outside
+    the step — their params and activations then stay out of the step's
+    HBM footprint. This is the memory-critical configuration for the
+    single-chip 576x1024x16f step (BASELINE.md config 3 resolution); the
+    frozen partition of the TrainState may be left empty."""
+    cfg = model.cfg
+
+    def loss_fn(trainable, frozen, batch, key):
+        params = deep_merge(trainable, frozen)
+        k_diff, k_dropout = jax.random.split(key)
+
+        def apply(x_noisy, t, _cond):
+            return model.apply_model(params, x_noisy, t, batch["ctx"],
+                                     batch["z_cond"],
+                                     fs=batch["fps"].astype(jnp.int32),
+                                     deterministic=False,
+                                     rngs={"dropout": k_dropout})
+
+        return diffusion_loss(
+            apply, model.schedule, batch["z"], None, k_diff,
+            parameterization=cfg.diffusion.parameterization,
+            use_dynamic_rescale=cfg.diffusion.use_dynamic_rescale,
+            l_simple_weight=cfg.diffusion.l_simple_weight)
+
+    return make_finetune_step(model, tcfg, mesh_spec=mesh_spec,
+                              stage="dynamicrafter", loss_fn=loss_fn)
+
+
 def make_alignment_step(wm, tcfg: TrainConfig,
                         mesh_spec: Optional[MeshSpec] = None):
     """Alignment stage (model.py:886-923 + config_align.yaml): trains the
@@ -197,7 +277,12 @@ def make_finetune_step(
         return new_state, {**metrics, "grad_norm": gnorm}
 
     if mesh_spec is None:
-        return jax.jit(step), tx
+        # NOTE: no donate_argnums — the axon AOT runtime does not implement
+        # input/output aliasing, and requesting donation makes XLA's HBM
+        # estimate WORSE (measured +2.4 GB on the 576x1024 step)
+        jitted = jax.jit(step)
+        jitted.raw_step = step  # type: ignore[attr-defined] (offload path)
+        return jitted, tx
 
     def shard_state(state: TrainState) -> TrainState:
         """Device-put a TrainState with ZeRO-2 shardings applied."""
