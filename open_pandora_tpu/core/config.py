@@ -269,6 +269,10 @@ class TrainConfig:
     ckpt_every: int = 10_000
     log_every: int = 100
     seed: int = 23
+    # EMA shadow params (reference LitEma, lvdm/ema.py; use_ema is False in
+    # every shipped config — ddpm3d.py:119 + inference_512_v1.0.yaml:18)
+    use_ema: bool = False
+    ema_decay: float = 0.9999
 
 
 @dataclass(frozen=True)

@@ -119,6 +119,28 @@ class CLIPTextEncoder(nn.Module):
         return LayerNorm(name="ln_final")(x)
 
 
+class CLIPTextEmbeddingEncoder(nn.Module):
+    """CLIPTextEmbeddingModel (model.py:1214-1306): a CLIP text transformer
+    driven by inputs_embeds — the LLM-derived conditioning is fed straight
+    into the causal encoder stack (NO token or position embeddings are
+    added in the inputs_embeds path, model.py:1241-1246) and the final
+    LayerNorm output is the conditioning. Only active under
+    use_diffusion_text_encoder=True (the shipped checkpoint has it False,
+    config_json.json)."""
+
+    cfg: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs_embeds: jnp.ndarray) -> jnp.ndarray:
+        x = inputs_embeds.astype(self.dtype)
+        for i in range(self.cfg.layers):
+            x = ResidualAttentionBlock(heads=self.cfg.heads, causal=True,
+                                       dtype=self.dtype,
+                                       name=f"resblocks_{i}")(x)
+        return LayerNorm(name="ln_final")(x)
+
+
 class CLIPVisionEncoder(nn.Module):
     """FrozenOpenCLIPImageEmbedderV2 (condition.py:300-382): all patch+cls
     tokens, no ln_post, no pooling. Input: preprocessed (b, 224, 224, 3)."""

@@ -128,6 +128,15 @@ class WorldModel:
         self.clip_tower = CLIPVisionTower(cfg.clip_tower, dtype=dtype)
         self.mm_projector = MMProjector(cfg.llama.hidden_size, dtype=dtype)
         self.connector = Connector(cfg.connector, cfg.qformer, dtype=dtype)
+        # optional CLIP text transformer over the connector output
+        # (model.py:97-98 diffusion_text_encoder; False in the shipped
+        # config — config_json.json use_diffusion_text_encoder)
+        self.text_embedding_encoder = None
+        if cfg.connector.use_diffusion_text_encoder:
+            from open_pandora_tpu.models.encoders import (
+                CLIPTextEmbeddingEncoder)
+            self.text_embedding_encoder = CLIPTextEmbeddingEncoder(
+                cfg.clip_text, dtype=dtype)
 
     # -- init ---------------------------------------------------------------
 
@@ -148,6 +157,11 @@ class WorldModel:
                 km, jnp.zeros((1, 1, self.cfg.clip_tower.width), self.dtype)),
             "connector": self.connector.init(kc, imgp),
         })
+        if self.text_embedding_encoder is not None:
+            params["text_embedding_encoder"] = self.text_embedding_encoder.init(
+                jax.random.fold_in(kc, 1),
+                jnp.zeros((1, self.cfg.qformer.num_query_tokens,
+                           self.cfg.clip_text.width), self.dtype))
         return params
 
     # -- conditioning path --------------------------------------------------
@@ -269,6 +283,9 @@ class WorldModel:
         R = stacked.shape[1]
         flat = stacked.reshape(b * R, *stacked.shape[2:])
         cond = self.connector.apply(params["connector"], flat)
+        if self.text_embedding_encoder is not None:
+            cond = self.text_embedding_encoder.apply(
+                params["text_embedding_encoder"], cond)
         return cond.reshape(b, R, *cond.shape[1:])
 
     # -- generation ---------------------------------------------------------

@@ -41,12 +41,16 @@ class TrainState(flax.struct.PyTreeNode):
     trainable: Any
     frozen: Any
     opt_state: Any
+    ema: Any = None  # optional EMA shadow of `trainable` (train/ema.py)
 
     @classmethod
-    def create(cls, params: dict, stage: str, tx: optax.GradientTransformation):
+    def create(cls, params: dict, stage: str,
+               tx: optax.GradientTransformation, use_ema: bool = False):
+        from open_pandora_tpu.train.ema import ema_init
         trainable, frozen = trainable_partition(params, stage)
         return cls(step=jnp.zeros((), jnp.int32), trainable=trainable,
-                   frozen=frozen, opt_state=tx.init(trainable))
+                   frozen=frozen, opt_state=tx.init(trainable),
+                   ema=ema_init(trainable) if use_ema else None)
 
     @property
     def params(self) -> dict:
@@ -176,11 +180,25 @@ def make_offloaded_latent_step(model: DynamiCrafter, tcfg: TrainConfig):
 
     cache = {}
 
+    raw = base_step.raw_step
+
+    def offloaded(state, batch, key):
+        # explicit memory-space round-trip: host moments -> device for the
+        # update, back to host after. XLA's latency-hiding scheduler
+        # pipelines the per-leaf transfers, so the moments never all live
+        # in HBM at once.
+        opt_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, on_dev), state.opt_state)
+        new_state, metrics = raw(state.replace(opt_state=opt_dev), batch, key)
+        new_opt = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, on_host), new_state.opt_state)
+        return new_state.replace(opt_state=new_opt), metrics
+
     def step(state, batch, key):
         if "fn" not in cache:
             ss = state_shardings(state)
             bs = jax.tree_util.tree_map(lambda _: on_dev, batch)
-            cache["fn"] = jax.jit(base_step.raw_step,
+            cache["fn"] = jax.jit(offloaded,
                                   in_shardings=(ss, bs, on_dev),
                                   out_shardings=(ss, None))
         return cache["fn"](state, batch, key)
@@ -272,8 +290,13 @@ def make_finetune_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
         gnorm = optax.global_norm(grads)
+        new_ema = state.ema
+        if state.ema is not None:
+            from open_pandora_tpu.train.ema import ema_update
+            new_ema = ema_update(state.ema, new_trainable, state.step,
+                                 decay=tcfg.ema_decay)
         new_state = state.replace(step=state.step + 1, trainable=new_trainable,
-                                  opt_state=new_opt)
+                                  opt_state=new_opt, ema=new_ema)
         return new_state, {**metrics, "grad_norm": gnorm}
 
     if mesh_spec is None:
@@ -295,6 +318,7 @@ def make_finetune_step(
             opt_state=jax.tree_util.tree_map(
                 jax.device_put, state.opt_state,
                 zero2_opt_spec(mesh_spec, state.opt_state)),
+            ema=rep(state.ema) if state.ema is not None else None,
         )
 
     def state_shardings(state: TrainState):
@@ -303,7 +327,8 @@ def make_finetune_step(
         return TrainState(
             step=replicated(mesh_spec), trainable=rep(state.trainable),
             frozen=rep(state.frozen),
-            opt_state=zero2_opt_spec(mesh_spec, state.opt_state))
+            opt_state=zero2_opt_spec(mesh_spec, state.opt_state),
+            ema=rep(state.ema) if state.ema is not None else None)
 
     def batch_shardings(batch):
         return jax.tree_util.tree_map(
