@@ -273,6 +273,10 @@ class TrainConfig:
     # every shipped config — ddpm3d.py:119 + inference_512_v1.0.yaml:18)
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # "adamw" (reference model.py:951-965) or "adamw8bit" (blockwise int8
+    # moments, train/optim8bit.py — 4x optimizer HBM; the single-chip
+    # 576x1024 configuration)
+    optimizer: str = "adamw"
 
 
 @dataclass(frozen=True)

@@ -76,11 +76,10 @@ def main():
     p.add_argument("--latents", default="/tmp/hires_latents.npz")
     p.add_argument("--phase", choices=["precompute", "train", "both"],
                    default="both")
-    p.add_argument("--offload-opt", action="store_true", default=True,
-                   help="AdamW moments in pinned host memory (the "
-                        "single-chip-fitting configuration at 576x1024)")
-    p.add_argument("--no-offload-opt", dest="offload_opt",
-                   action="store_false")
+    p.add_argument("--optimizer", default="adamw8bit",
+                   choices=["adamw", "adamw8bit"],
+                   help="adamw8bit (default) is the single-chip-fitting "
+                        "configuration at 576x1024")
     args = p.parse_args()
 
     if args.phase == "precompute":
@@ -130,17 +129,13 @@ def main():
                        cfg.unet.context_dim), jnp.bfloat16))))()}
     jax.block_until_ready(jax.tree_util.tree_leaves(unet_params)[0])
 
+    # params (2.86G) + bf16 moments (5.7G) + remat temps (~6.6G) + runtime
+    # overhead exceeds the 15.75G HBM; 8-bit blockwise moments
+    # (train/optim8bit.py) cut optimizer state to 1.45G and fit.
     tcfg = TrainConfig(learning_rate=5e-5, uncond_prob=0.0, max_steps=10,
-                       grad_clip_norm=0.5)
-    if args.offload_opt:
-        # params (2.86G) + moments (5.7G) + remat temps (~6.6G) + runtime
-        # overhead exceeds the 15.75G HBM; moments move to pinned host
-        from open_pandora_tpu.train.step import make_offloaded_latent_step
-        step, tx, put_state = make_offloaded_latent_step(model, tcfg)
-    else:
-        step, tx = make_latent_finetune_step(model, tcfg)
-        put_state = lambda s: s
-    state = put_state(TrainState.create(unet_params, "dynamicrafter", tx))
+                       grad_clip_norm=0.5, optimizer=args.optimizer)
+    step, tx = make_latent_finetune_step(model, tcfg)
+    state = TrainState.create(unet_params, "dynamicrafter", tx)
     batch = {"z": z, "ctx": ctx, "z_cond": z_cond,
              "fps": jnp.full((1,), 8, jnp.int32)}
 

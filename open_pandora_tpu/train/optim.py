@@ -84,11 +84,18 @@ def lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(
+    if cfg.optimizer == "adamw8bit":
+        from open_pandora_tpu.train.optim8bit import adamw8bit
+        inner = adamw8bit(
             learning_rate=lr_schedule(cfg),
             b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-            weight_decay=cfg.weight_decay,
-        ),
-    )
+            weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adamw":
+        inner = optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}; "
+                         "choose adamw or adamw8bit")
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), inner)
