@@ -112,6 +112,10 @@ class CLIPTowerConfig:
     heads: int = 16
     select_layer: int = -2
     # feature_select drops the CLS token (clip_encoder.py:34-43)
+    # "clip" (shipped) or "eva_vit_g" (builder.py:5-13 name dispatch;
+    # EVA-g preset: width 1408, layers 39, heads 16, mlp_ratio 4.3637)
+    tower_type: str = "clip"
+    mlp_ratio: float = 4.0
 
 
 @dataclass(frozen=True)

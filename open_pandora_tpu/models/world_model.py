@@ -125,7 +125,13 @@ class WorldModel:
         self.diffusion = DynamiCrafter(cfg, dtype=dtype)
         self.llama = LlamaForCausalLM(cfg.llama, dtype=dtype,
                                       quantized=quantize_llm)
-        self.clip_tower = CLIPVisionTower(cfg.clip_tower, dtype=dtype)
+        # tower dispatch (ChatUniVi multimodal_encoder/builder.py:5-13:
+        # names starting "eva_vit_g" select the EVA tower)
+        if cfg.clip_tower.tower_type.startswith("eva_vit_g"):
+            from open_pandora_tpu.models.eva_tower import EVAVisionTower
+            self.clip_tower = EVAVisionTower(cfg.clip_tower, dtype=dtype)
+        else:
+            self.clip_tower = CLIPVisionTower(cfg.clip_tower, dtype=dtype)
         self.mm_projector = MMProjector(cfg.llama.hidden_size, dtype=dtype)
         self.connector = Connector(cfg.connector, cfg.qformer, dtype=dtype)
         # optional CLIP text transformer over the connector output
