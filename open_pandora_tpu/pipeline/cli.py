@@ -44,14 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def build_chat(args):
+    """Build the ChatWM session from parsed CLI args (shared by the CLI
+    and the web server, pipeline/server.py)."""
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from open_pandora_tpu.core.config import PandoraConfig
     from open_pandora_tpu.models.world_model import WorldModel
@@ -92,8 +92,15 @@ def main(argv=None):
             wm.init_params(jax.random.PRNGKey(0), height=height,
                            width=width)))()
 
-    chat = ChatWM(wm, params, tokenizer=load_tokenizer(args.tokenizer),
+    return ChatWM(wm, params, tokenizer=load_tokenizer(args.tokenizer),
                   height=height, width=width)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from PIL import Image
+
+    chat = build_chat(args)
     img = Image.open(args.image)
     frames = chat.generate_video_multiround(
         img, args.action, ddim_steps=args.ddim_steps,
