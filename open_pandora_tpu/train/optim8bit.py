@@ -16,6 +16,7 @@ usable anywhere `optax.adamw` is.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -84,22 +85,45 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 
         outs = []
 
-        def per_leaf(g, mu_q, nu_q):
+        def per_leaf(g, mu_q, nu_q, token):
+            # `token` + optimization_barrier force group-by-group ordering:
+            # without a real (unfoldable) dependency XLA schedules every
+            # leaf's fp32 dequantized-moment temporaries concurrently and
+            # the peak-HBM win evaporates (measured 27 GB vs ~13 GB on the
+            # 1.4B-param UNet step; an arithmetic token like `scale*0` gets
+            # constant-folded and DCE'd)
+            # the barrier must gate the QUANTIZED STATE, not just the
+            # gradient — dequantize has no data dependency on the token
+            # otherwise and XLA schedules every leaf's dequant up front
+            g, mu_q, nu_q, _ = jax.lax.optimization_barrier(
+                (g, mu_q, nu_q, token))
             g32 = g.astype(jnp.float32)
             mu = _dequantize(mu_q, g.shape, block_size)
             nu = _dequantize(nu_q, g.shape, block_size)
             mu = b1 * mu + (1.0 - b1) * g32
             nu = b2 * nu + (1.0 - b2) * jnp.square(g32)
             upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
-            return upd.astype(g.dtype), _quantize(mu, block_size), \
-                _quantize(nu, block_size)
+            mu_q2 = _quantize(mu, block_size)
+            nu_q2 = _quantize(nu, block_size)
+            return upd.astype(g.dtype), mu_q2, nu_q2, mu_q2.scale[0]
 
         g_leaves, treedef = jax.tree_util.tree_flatten(updates)
         mu_leaves = treedef.flatten_up_to(state.mu)
         nu_leaves = treedef.flatten_up_to(state.nu)
         new_u, new_mu, new_nu = [], [], []
-        for g, mq, nq in zip(g_leaves, mu_leaves, nu_leaves):
-            u, m2, n2 = per_leaf(g, mq, nq)
+        # chain in groups of 8: full serial chaining over ~500 leaves made
+        # the TPU compiler segfault; every leaf in group k+1 depends on ALL
+        # of group k (via the summed token), bounding concurrent fp32
+        # temps to ~2 groups while keeping the graph shallow
+        token = jnp.zeros((), jnp.float32)
+        group_tokens = []
+        n_leaves = len(g_leaves)
+        for i, (g, mq, nq) in enumerate(zip(g_leaves, mu_leaves, nu_leaves)):
+            u, m2, n2, t = per_leaf(g, mq, nq, token)
+            group_tokens.append(t)
+            if len(group_tokens) == 8 or i == n_leaves - 1:
+                token = functools.reduce(jnp.add, group_tokens)
+                group_tokens = []
             new_u.append(u)
             new_mu.append(m2)
             new_nu.append(n2)
