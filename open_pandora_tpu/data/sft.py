@@ -12,9 +12,10 @@ TPU-native reformulation: instead of ragged (input_ids, labels) consumed by
 a dynamic splice, preprocessing lowers each conversation to the repo's
 static `MultimodalPrompt` segment layout (TokenSegment / ImageSegment /
 VideoSegment) plus per-token labels, padded to a fixed bucket so XLA sees
-one shape per (layout signature, bucket) pair. End padding under causal
-attention needs no attention mask: pads sit after every supervised
-position and are label-masked.
+one shape per (layout signature, bucket) pair. Every padded chunk carries
+a real-token mask: batches can mix chunk lengths (multi-turn, or an image
+after turn 1), so mid-sequence pads exist and must be masked out of
+attention and made position-transparent (train/llm_step.py sft_loss).
 """
 
 from __future__ import annotations
@@ -242,23 +243,29 @@ def collate_examples(examples: Sequence[SFTExample], cfg,
         if total < bucket:
             chunk_lens[-1] += bucket - total
 
-    ids_cols, label_cols = [], []
+    ids_cols, label_cols, mask_cols = [], [], []
     for c in range(n_chunks):
         ids_c = np.full((len(examples), chunk_lens[c]), pad_id, np.int32)
         lab_c = np.full((len(examples), chunk_lens[c]), IGNORE_INDEX,
                         np.int32)
+        msk_c = np.zeros((len(examples), chunk_lens[c]), bool)
         for b, e in enumerate(examples):
             n = len(e.chunk_ids[c])
             ids_c[b, :n] = e.chunk_ids[c]
             lab_c[b, :n] = e.chunk_labels[c]
+            msk_c[b, :n] = True
         ids_cols.append(ids_c)
         label_cols.append(lab_c)
+        mask_cols.append(msk_c)
 
     segments = []
     feature_spans = []  # (kind, len) interleave for label assembly
     img_idx = 0
     for c in range(n_chunks):
-        segments.append(TokenSegment(jnp.asarray(ids_cols[c])))
+        # masks are attached unconditionally (not only when pads exist) so
+        # one jit trace covers every batch of a given shape signature
+        segments.append(TokenSegment(jnp.asarray(ids_cols[c]),
+                                     jnp.asarray(mask_cols[c])))
         feature_spans.append(("text", c))
         if c < n_chunks - 1:
             if is_video:

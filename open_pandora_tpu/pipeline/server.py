@@ -56,7 +56,11 @@ def _parse_multipart(handler: BaseHTTPRequestHandler):
         if b"\r\n\r\n" not in part:
             continue
         head, _, payload = part.partition(b"\r\n\r\n")
-        payload = payload.rstrip(b"\r\n-")
+        # strip exactly the CRLF that precedes the next boundary marker —
+        # rstrip over a char set would eat legitimate trailing 0x2D/0x0D/0x0A
+        # bytes of a binary upload
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
         dm = re.search(rb'name="([^"]+)"', head)
         if dm:
             fields[dm.group(1).decode()] = payload

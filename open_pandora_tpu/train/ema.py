@@ -17,8 +17,13 @@ import jax.numpy as jnp
 
 
 def ema_init(params: Any) -> Any:
-    """Shadow starts as a copy of the trainable params (ema.py:15-22)."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """Shadow starts as an fp32 copy of the trainable params (ema.py:15-22).
+
+    fp32 regardless of param dtype: with bf16 params the (1-0.9999)-scale
+    delta would round to zero on a bf16 shadow and the EMA would freeze
+    after warmup. Cast to the param dtype only at the point of use
+    (sampling with `state.ema`)."""
+    return jax.tree_util.tree_map(lambda p: jnp.asarray(p, jnp.float32), params)
 
 
 def ema_decay_for_step(step: jnp.ndarray, decay: float = 0.9999,

@@ -82,7 +82,17 @@ def sft_loss(wm: WorldModel, trainable, frozen, batch, key):
     prompt: MultimodalPrompt = batch["prompt"]
     labels = batch["labels"]
     embeds, _ = wm.build_inputs_embeds(params, prompt)
+    # mid-sequence pads are possible (chunk columns pad to the batch max, so
+    # multi-turn / image-after-turn-1 batches mix lengths): mask pads out of
+    # attention and keep real tokens' RoPE positions pad-transparent,
+    # mirroring get_diffusion_conditioning
+    attention_mask = wm.attention_mask_for(prompt)
+    positions = None
+    if attention_mask is not None:
+        positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1
     hidden = wm.llama.apply(params["llama"], embeds,
+                            positions=positions,
+                            attention_mask=attention_mask,
                             method=LlamaForCausalLM.trunk)
     logits = wm.llama.apply(params["llama"], hidden,
                             method=lambda m, h: m.lm_head(h))

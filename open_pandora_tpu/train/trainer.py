@@ -180,7 +180,7 @@ def main(argv=None):
         step_fn, tx = make_finetune_step(model, tcfg, mesh_spec=mesh,
                                          stage="dynamicrafter")
         stage_key = "dynamicrafter"
-    state = TrainState.create(params, stage_key, tx)
+    state = TrainState.create(params, stage_key, tx, use_ema=tcfg.use_ema)
     state = step_fn.shard_state(state)
 
     start_step = 0

@@ -384,6 +384,210 @@ class _StubDiffusion:
                                 x_t.shape) * x_t)
 
 
+class _ChainStub(_StubDiffusion):
+    """_StubDiffusion whose apply_model is the DiffusionWrapper hybrid
+    (ddpm3d.py:1060-1081): channel-concat c_concat onto x, cross-attend the
+    concatenated c_crossattn, forward fs — driving a real (tiny) reference
+    UNetModel instead of a toy callable."""
+
+    def __init__(self, unet):
+        super().__init__(toy_denoiser=None)
+        self._unet = unet
+
+    def apply_model(self, x, t, c, **kwargs):
+        x_in = torch.cat([x] + c["c_concat"], dim=1)
+        cc = torch.cat(c["c_crossattn"], dim=1)
+        return self._unet(x_in, t, context=cc, fs=kwargs.get("fs"))
+
+
+def test_config1_chain_parity():
+    """Acceptance-config-1 composition, machine-checked end to end: the
+    REFERENCE DDIMSampler driving the reference tiny UNetModel (hybrid
+    c_concat + context + fs conditioning, CFG 7.5, guidance_rescale 0.7,
+    DDIM-10 uniform_trailing, eta=0) + reference AutoencoderKL decode of the
+    result, vs our ddim_sample + make_cfg_model_fn (batched CFG) + converted
+    UNet + decode_video. Module parity alone can't catch conditioning
+    plumbing bugs (context split, c_concat layout, fs routing); the composed
+    trajectory can. Spec: samplers/ddim.py:217-290, openaimodel3d.py:552-607,
+    model.py:703-781."""
+    from lvdm.models.autoencoder import AutoencoderKL as RefVAE
+    from lvdm.models.samplers.ddim import DDIMSampler as RefDDIM
+    from lvdm.modules.networks.openaimodel3d import UNetModel as RefUNet
+
+    from open_pandora_tpu.core.config import (DiffusionConfig, UNet3DConfig,
+                                              VAEConfig)
+    from open_pandora_tpu.diffusion.ddim import (ddim_sample,
+                                                 make_cfg_model_fn,
+                                                 make_ddim_schedule)
+    from open_pandora_tpu.diffusion.schedule import make_schedule
+    from open_pandora_tpu.models.unet3d import UNetModel
+    from open_pandora_tpu.models.vae import AutoencoderKL, decode_video
+
+    T = 2
+    kw = dict(in_channels=8, out_channels=4, model_channels=32,
+              num_res_blocks=1, attention_resolutions=[1, 2], dropout=0.0,
+              channel_mult=[1, 2], num_head_channels=16, transformer_depth=1,
+              context_dim=32, use_linear=True, use_checkpoint=False,
+              temporal_conv=True, temporal_attention=True,
+              temporal_selfatt_only=True, use_relative_position=False,
+              use_causal_attention=False, temporal_length=T,
+              addition_attention=True, image_cross_attention=True,
+              default_fs=24, fs_condition=True)
+    torch.manual_seed(0)
+    ref_unet = RefUNet(**kw).float().eval()
+    rerandomize_(ref_unet, seed=23)
+
+    dd_vae = dict(double_z=True, z_channels=4, resolution=32, in_channels=3,
+                  out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                  attn_resolutions=[], dropout=0.0)
+    ref_vae = RefVAE(ddconfig=dd_vae,
+                     lossconfig={"target": "torch.nn.Identity"},
+                     embed_dim=4).float().eval()
+    rerandomize_(ref_vae, seed=29)
+
+    # shared conditioning (fp32, both sides see identical values)
+    rs = np.random.RandomState(6)
+    b, hz, wz = 1, 8, 8
+    scale_factor = 0.18215
+    x_T = rs.randn(b, 4, T, hz, wz).astype(np.float32)
+    ctx_c = (rs.randn(b, 77 + T * 16, 32) * 0.5).astype(np.float32)
+    ctx_u = (rs.randn(b, 77 + T * 16, 32) * 0.5).astype(np.float32)
+    z_cond = rs.randn(b, 4, T, hz, wz).astype(np.float32)
+    fs_np = np.array([3], np.int64)
+
+    # --- reference chain
+    stub = _ChainStub(ref_unet)
+    sampler = RefDDIM(stub)
+    sampler.register_buffer = (
+        lambda name, attr: setattr(sampler, name,
+                                   attr if isinstance(attr, torch.Tensor)
+                                   else torch.tensor(np.asarray(attr),
+                                                     dtype=torch.float32)))
+    sampler.make_schedule(ddim_num_steps=10,
+                          ddim_discretize="uniform_trailing",
+                          ddim_eta=0.0, verbose=False)
+    cond = {"c_crossattn": [torch.from_numpy(ctx_c)],
+            "c_concat": [torch.from_numpy(z_cond)]}
+    uc = {"c_crossattn": [torch.from_numpy(ctx_u)],
+          "c_concat": [torch.from_numpy(z_cond)]}
+    with torch.no_grad():
+        z_ref, _ = sampler.ddim_sampling(
+            cond, (b, 4, T, hz, wz), x_T=torch.from_numpy(x_T.copy()),
+            unconditional_guidance_scale=7.5, unconditional_conditioning=uc,
+            verbose=False, guidance_rescale=0.7, fs=torch.from_numpy(fs_np))
+        # decode_first_stage (ddpm3d.py:669-678): 1/scale * z, per frame
+        frames_ref = torch.stack(
+            [ref_vae.decode(z_ref[:, :, t] / scale_factor)
+             for t in range(T)], dim=2).numpy()
+
+    # --- our chain (converted weights, product code path)
+    ucfg = UNet3DConfig(
+        in_channels=8, out_channels=4, model_channels=32, channel_mult=(1, 2),
+        num_res_blocks=1, attention_resolutions=(1, 2), num_head_channels=16,
+        transformer_depth=1, context_dim=32, temporal_length=T,
+        temporal_conv=True, temporal_attention=True, addition_attention=True,
+        image_cross_attention=True, fs_condition=True, default_fs=24,
+        dropout=0.0, use_checkpoint=False,
+        text_context_len=77, img_tokens_per_frame=16)
+    ours = UNetModel(ucfg, dtype=jnp.float32)
+    uparams = to_jax(C.convert_unet(flat_f32(ref_unet,
+                                             "model.diffusion_model"), ucfg))
+    vcfg = VAEConfig(base_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    our_vae = AutoencoderKL(vcfg, dtype=jnp.float32)
+    vparams = to_jax(C.convert_vae(flat_f32(ref_vae, "first_stage_model"),
+                                   vcfg))
+
+    zc_j = jnp.asarray(z_cond.transpose(0, 2, 3, 4, 1))
+    fs_j = jnp.asarray(fs_np, jnp.int32)
+
+    def apply(x, t, ctx):
+        reps = x.shape[0] // b
+        x_in = jnp.concatenate(
+            [x, jnp.concatenate([zc_j] * reps, axis=0)], axis=-1)
+        return ours.apply(uparams, x_in, t, ctx,
+                          fs=jnp.concatenate([fs_j] * reps, axis=0))
+
+    model_fn = make_cfg_model_fn(
+        apply,
+        cond=jnp.asarray(ctx_c),
+        uncond=jnp.asarray(ctx_u), batched_cfg=True)
+    sched = make_schedule(DiffusionConfig())
+    dd = make_ddim_schedule(sched, 10, eta=0.0,
+                            timestep_spacing="uniform_trailing",
+                            use_dynamic_rescale=True)
+    z0 = ddim_sample(model_fn, dd,
+                     jnp.asarray(x_T.transpose(0, 2, 3, 4, 1)),
+                     jax.random.PRNGKey(0), guidance_scale=7.5,
+                     guidance_rescale=0.7, parameterization="v")
+    np.testing.assert_allclose(
+        np.asarray(z0).transpose(0, 4, 1, 2, 3), z_ref.numpy(),
+        atol=1e-4, rtol=1e-3)
+
+    frames = decode_video(our_vae, vparams, z0, scale_factor=scale_factor)
+    np.testing.assert_allclose(
+        np.asarray(frames).transpose(0, 4, 1, 2, 3),
+        frames_ref.transpose(0, 1, 2, 3, 4), atol=1e-3, rtol=1e-3)
+
+
+def test_unet_level0_real_shape_parity():
+    """One-level UNet at the REAL production width and shape — 320 model
+    channels, t=16, 40x64 latents, context 77 + 16*16 = 333 x 1024 — to
+    catch shape-dependent bugs the tiny parity config can't (the dual-stream
+    77+16t context split at full t, head counts 320/64=5, real spatial
+    sequence 2560). channel_mult=(1,) keeps it one level deep so the fp32
+    CPU run stays tractable. Spec: openaimodel3d.py:552-607 (context split),
+    :284-550 (block structure)."""
+    from lvdm.modules.networks.openaimodel3d import UNetModel as RefUNet
+
+    from open_pandora_tpu.core.config import UNet3DConfig
+    from open_pandora_tpu.models.unet3d import UNetModel
+
+    T = 16
+    kw = dict(in_channels=8, out_channels=4, model_channels=320,
+              num_res_blocks=1, attention_resolutions=[1], dropout=0.0,
+              channel_mult=[1], num_head_channels=64, transformer_depth=1,
+              context_dim=1024, use_linear=True, use_checkpoint=False,
+              temporal_conv=True, temporal_attention=True,
+              temporal_selfatt_only=True, use_relative_position=False,
+              use_causal_attention=False, temporal_length=T,
+              addition_attention=True, image_cross_attention=True,
+              default_fs=3, fs_condition=True)
+    torch.manual_seed(0)
+    ref = RefUNet(**kw).float().eval()
+    rerandomize_(ref, seed=31)
+
+    cfg = UNet3DConfig(
+        in_channels=8, out_channels=4, model_channels=320, channel_mult=(1,),
+        num_res_blocks=1, attention_resolutions=(1,), num_head_channels=64,
+        transformer_depth=1, context_dim=1024, temporal_length=T,
+        temporal_conv=True, temporal_attention=True, addition_attention=True,
+        image_cross_attention=True, fs_condition=True, default_fs=3,
+        dropout=0.0, use_checkpoint=False,
+        text_context_len=77, img_tokens_per_frame=16)
+    ours = UNetModel(cfg, dtype=jnp.float32)
+    params = C.convert_unet(flat_f32(ref, "model.diffusion_model"), cfg)
+
+    rs = np.random.RandomState(7)
+    b, hz, wz = 1, 40, 64
+    x = rs.randn(b, 8, T, hz, wz).astype(np.float32)
+    ctx = (rs.randn(b, 77 + T * 16, 1024) * 0.5).astype(np.float32)
+    ts = np.array([777], np.int64)
+    fs = np.array([15], np.int64)
+
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(ts),
+                      context=torch.from_numpy(ctx),
+                      fs=torch.from_numpy(fs)).numpy()
+
+    out = ours.apply(to_jax(params),
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                     jnp.asarray(ts, jnp.int32), jnp.asarray(ctx),
+                     fs=jnp.asarray(fs, jnp.int32))
+    out = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    assert out.shape == out_ref.shape
+    np.testing.assert_allclose(out, out_ref, atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("spacing", ["uniform", "uniform_trailing"])
 def test_ddim_trajectory_parity(spacing):
     """DDIM-10, v-param, dynamic rescale, CFG 7.5, guidance_rescale 0.7,

@@ -125,6 +125,42 @@ def test_sft_loss_on_collated_batch():
     assert int(metrics["n_supervised"]) > 0
 
 
+def test_sft_loss_pad_invariant():
+    """Mid-sequence pads (mixed chunk lengths in one batch) must not change
+    the loss: the batched loss equals the supervised-token-weighted mean of
+    the per-example unpadded losses (pads masked out of attention, RoPE
+    positions pad-transparent)."""
+    import jax
+
+    from open_pandora_tpu.train.llm_step import sft_loss
+    from tests.test_llm_stack import tiny_wm_fixture
+    wm, params = tiny_wm_fixture()
+    img = np.zeros((1, 28, 28, 3), np.float32)
+    srcs = [
+        # text BEFORE the image so chunk 0 (pre-image) lengths differ ->
+        # the short example gets pads mid-sequence, ahead of supervised
+        # answer tokens
+        [{"from": "human", "value": "look <image> now answer"},
+         {"from": "gpt", "value": "a dog runs"}],
+        [{"from": "human",
+          "value": "look very carefully at this <image> now answer"},
+         {"from": "gpt", "value": "two dogs"}],
+    ]
+    exs = [example_from_conversation(s, TOK, images=img) for s in srcs]
+    assert exs[0].signature == exs[1].signature
+    assert len(exs[0].chunk_ids[0]) != len(exs[1].chunk_ids[0])
+
+    def loss_of(batch):
+        l, m = sft_loss(wm, params, {}, batch, jax.random.PRNGKey(0))
+        return float(l), int(m["n_supervised"])
+
+    l_batch, n_batch = loss_of(collate_examples(exs, wm.cfg))
+    singles = [loss_of(collate_examples([e], wm.cfg)) for e in exs]
+    assert n_batch == sum(n for _, n in singles)
+    expected = sum(l * n for l, n in singles) / n_batch
+    np.testing.assert_allclose(l_batch, expected, rtol=2e-5)
+
+
 def test_conversation_dataset_roundtrip(tmp_path):
     from open_pandora_tpu.data.sft import ConversationDataset
     recs = [{"conversations": [
