@@ -136,12 +136,17 @@ class DynamiCrafter:
         timestep_spacing: str = "uniform_trailing",
         uncond_text_context: Optional[jnp.ndarray] = None,
         cfg_img: Optional[float] = None,
+        _apply_model=None,
     ) -> jnp.ndarray:
         """model.py:703-781. Returns latents (b, T, h/8, w/8, 4).
 
         cfg_img enables 3-way CFG (ddim_multiplecond.py:210-234 +
         inference.py:196-202): the extra stream is uncond text + COND image
-        embedding."""
+        embedding.
+
+        _apply_model: optional override with the apply_model signature
+        (params, x, t, ctx, concat, fs) — the hook parallel/sharded_infer.py
+        uses to shard the CFG-stream batch over a mesh."""
         cfg = self.cfg
         b = text_context.shape[0]
         T = cfg.unet.temporal_length
@@ -166,13 +171,17 @@ class DynamiCrafter:
 
         fs_arr = jnp.full((b,), fs, dtype=jnp.int32)
 
+        raw_apply = _apply_model or (
+            lambda p, x, t, ctx, concat, fs: self.apply_model(
+                p, x, t, ctx, concat, fs=fs))
+
         def apply(x, t, ctx):
             bb = x.shape[0]
             reps = bb // b
-            return self.apply_model(
+            return raw_apply(
                 params, x, t, ctx,
                 jnp.concatenate([z_cond] * reps, axis=0),
-                fs=jnp.concatenate([fs_arr] * reps, axis=0))
+                jnp.concatenate([fs_arr] * reps, axis=0))
 
         # context is the only stream-dependent leaf; concat_cond/fs repeat
         model_fn = make_cfg_model_fn(

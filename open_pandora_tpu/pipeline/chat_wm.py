@@ -51,6 +51,7 @@ class ChatWM:
         self.round_videos: List[np.ndarray] = []  # uint8 (16,h,w,3) per round
         self.cond_image = None                  # round-1 resampler image
         self.round = 0
+        self.round_times: List[tuple] = []      # (sample_s, decode_s)/round
 
     # -- rounds -------------------------------------------------------------
 
@@ -121,18 +122,36 @@ class ChatWM:
         return self._run_round(cond_frames, ddim_steps, fs, guidance_scale,
                                eta, seed, **kw)
 
+    def _synth_jit(self, ddim_steps, fs, guidance_scale, eta, **kw):
+        """One jitted synthesis closure per sampler-setting tuple (the
+        conditioning jit retraces per prompt structure on its own)."""
+        key_t = (ddim_steps, fs, guidance_scale, eta, tuple(sorted(kw)))
+        if not hasattr(self, "_synth_cache"):
+            self._synth_cache = {}
+        if key_t not in self._synth_cache:
+            def synth(p, text_ctx, ci, cf, k):
+                return self.wm.diffusion.image_guided_synthesis(
+                    p, text_context=text_ctx, cond_images=ci, cond_frames=cf,
+                    key=k, ddim_steps=ddim_steps, fs=fs,
+                    guidance_scale=guidance_scale, eta=eta, **kw)
+            self._synth_cache[key_t] = jax.jit(synth)
+        return self._synth_cache[key_t]
+
     def _run_round(self, cond_frames, ddim_steps, fs, guidance_scale, eta,
                    seed, **kw) -> np.ndarray:
         import time
 
         t0 = time.perf_counter()
-        z = self.wm.generate(
-            self.params, self.prompt,
-            cond_images=jnp.asarray(self.cond_image),
-            cond_frames=cond_frames,
-            key=jax.random.PRNGKey(seed + self.round),
-            ddim_steps=ddim_steps, guidance_scale=guidance_scale, eta=eta,
-            fs=fs, **kw)
+        # whole-path jit: LLM conditioning retraces per prompt structure
+        # (bounded by the text buckets), synthesis/decode per settings —
+        # eager dispatch on the axon tunnel has a ~70 ms per-call floor
+        if not hasattr(self, "_cond_jit"):
+            self._cond_jit = jax.jit(
+                lambda p, pr: self.wm.get_diffusion_conditioning(p, pr))
+        text_ctx = self._cond_jit(self.params, self.prompt)[:, -1]
+        z = self._synth_jit(ddim_steps, fs, guidance_scale, eta, **kw)(
+            self.params, text_ctx, jnp.asarray(self.cond_image), cond_frames,
+            jax.random.PRNGKey(seed + self.round))
         np.asarray(z[0, 0, 0, 0])  # host fetch = true sync
         t1 = time.perf_counter()
         # batch frames through the decoder: 2.4x over per-frame on v5e at
@@ -140,12 +159,17 @@ class ChatWM:
         t = z.shape[1]
         chunk = 8 if (self.hw[0] * self.hw[1] <= 320 * 512 and t % 8 == 0) \
             else (2 if t % 2 == 0 else 1)
-        video = self.wm.diffusion.decode(self.params, z, frame_chunk=chunk)
+        if not hasattr(self, "_dec_jit"):
+            self._dec_jit = jax.jit(lambda p, zz: self.wm.diffusion.decode(
+                p, zz, frame_chunk=chunk))
+        video = self._dec_jit(self.params, z)
         frames = frames_to_uint8(np.asarray(video[0]))
         t2 = time.perf_counter()
         print(f"[chatwm] round {self.round}: conditioning+sampling "
               f"{t1 - t0:.1f}s, decode {t2 - t1:.1f}s "
               f"(incl. compile on first round)", flush=True)
+        self.round_times = getattr(self, "round_times", [])
+        self.round_times.append((t1 - t0, t2 - t1))
         self.round_videos.append(frames)
         self.round += 1
         return frames
