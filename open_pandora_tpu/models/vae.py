@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from open_pandora_tpu.core.config import VAEConfig
 from open_pandora_tpu.ops.attention import attention
-from open_pandora_tpu.ops.norms import group_norm
 
 
 class GroupNorm(nn.Module):
@@ -44,7 +43,12 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm(x, scale, bias, num_groups=32, eps=self.eps, silu=silu)
+        # dispatcher: Pallas/MXU-stats fast paths for bf16 on TPU (the
+        # decoder's full-res slabs hit the same fp32 convert_reduce +
+        # broadcast cost the UNet's 5D sites did), exact XLA twin elsewhere
+        from open_pandora_tpu.ops.fused_norms import fused_group_norm_silu
+        return fused_group_norm_silu(x, scale, bias, num_groups=32,
+                                     eps=self.eps, silu=silu)
 
 
 def swish(x):

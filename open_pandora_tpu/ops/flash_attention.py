@@ -42,12 +42,59 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _masked_scores(s, *, causal: bool, mask_pad: bool, kv_len: int,
+                   q_offset: int, row0, col0):
+    """Apply kv-length / causal masking to a scores tile. When the kv axis
+    is pad-free (mask_pad False) and non-causal, this is a no-op — eliding
+    ~4 VPU ops per score element on the hot spatial-attention shapes."""
+    mask = None
+    if mask_pad or causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+    if mask_pad:
+        mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + row0
+        cm = col <= row + q_offset
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    if mask is not None:
+        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+    return s
+
+
+def _fwd_kernel_single(
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref,
+    *, sm_scale: float, causal: bool, kv_len: int, q_offset: int,
+    block_q: int, block_k: int, mask_pad: bool,
+):
+    """Whole-kv-in-one-block specialization (n_kv_blocks == 1): plain
+    softmax, no online-rescale state, no scratch round-trips. This is the
+    regime of every UNet spatial self-attention site (kv fits one block)."""
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]  # (block_q, D)
+    k = k_ref[0, 0]  # (block_k, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = _masked_scores(s, causal=causal, mask_pad=mask_pad, kv_len=kv_len,
+                       q_offset=q_offset, row0=qi * block_q, col0=0)
+    m = jnp.max(s, axis=1, keepdims=True)            # (bq, 1)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]
+    acc = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(
+        m + jnp.log(jnp.maximum(l, 1e-37)), (block_q, LANES))
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, sm_scale: float, causal: bool, kv_len: int, q_offset: int,
-    block_q: int, block_k: int, n_kv_blocks: int,
+    block_q: int, block_k: int, n_kv_blocks: int, mask_pad: bool,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -73,12 +120,9 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # (block_q, block_k)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            mask = jnp.logical_and(mask, col <= row + q_offset)
-        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+        s = _masked_scores(s, causal=causal, mask_pad=mask_pad,
+                           kv_len=kv_len, q_offset=q_offset,
+                           row0=qi * block_q, col0=ki * block_k)
 
         m_prev = m_scr[...]          # (block_q, LANES), lanes replicated
         l_prev = l_scr[...]
@@ -108,11 +152,26 @@ def _fwd(q, k, v, sm_scale, causal, kv_len, q_offset, block_q, block_k):
     M = k.shape[2]
     n_q, n_k = Nq // block_q, M // block_k
     grid = (B, H, n_q, n_k)
+    mask_pad = M != kv_len  # padded kv columns present
 
-    kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, causal=causal, kv_len=kv_len,
-        q_offset=q_offset, block_q=block_q, block_k=block_k, n_kv_blocks=n_k,
-    )
+    if n_k == 1:
+        kernel = functools.partial(
+            _fwd_kernel_single, sm_scale=sm_scale, causal=causal,
+            kv_len=kv_len, q_offset=q_offset, block_q=block_q,
+            block_k=block_k, mask_pad=mask_pad,
+        )
+        scratch = []
+    else:
+        kernel = functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, causal=causal, kv_len=kv_len,
+            q_offset=q_offset, block_q=block_q, block_k=block_k,
+            n_kv_blocks=n_k, mask_pad=mask_pad,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ]
     out_shapes = (
         jax.ShapeDtypeStruct((B, H, Nq, D), q.dtype),
         jax.ShapeDtypeStruct((B, H, Nq, LANES), jnp.float32),
@@ -130,11 +189,7 @@ def _fwd(q, k, v, sm_scale, causal, kv_len, q_offset, block_q, block_k):
             pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
         ),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )(q, k, v)
     return o, lse
 
@@ -149,7 +204,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, sm_scale: float, causal: bool, kv_len: int, q_offset: int,
-    block_q: int, block_k: int, n_q_blocks: int,
+    block_q: int, block_k: int, n_q_blocks: int, mask_pad: bool,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -176,12 +231,9 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            mask = jnp.logical_and(mask, col <= row + q_offset)
-        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+        s = _masked_scores(s, causal=causal, mask_pad=mask_pad,
+                           kv_len=kv_len, q_offset=q_offset,
+                           row0=qi * block_q, col0=ki * block_k)
 
         p = jnp.exp(s - lse[:, 0:1])                        # (bq, bk)
         dv_scr[...] += jax.lax.dot_general(
@@ -208,7 +260,7 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_scr,
     *, sm_scale: float, causal: bool, kv_len: int, q_offset: int,
-    block_q: int, block_k: int, n_kv_blocks: int,
+    block_q: int, block_k: int, n_kv_blocks: int, mask_pad: bool,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -234,12 +286,9 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
-            mask = jnp.logical_and(mask, col <= row + q_offset)
-        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+        s = _masked_scores(s, causal=causal, mask_pad=mask_pad,
+                           kv_len=kv_len, q_offset=q_offset,
+                           row0=qi * block_q, col0=ki * block_k)
 
         p = jnp.exp(s - lse[:, 0:1])
         dp = jax.lax.dot_general(
@@ -267,6 +316,7 @@ def _bwd(sm_scale, causal, kv_len, q_offset, block_q, block_k, res, g):
                  keepdims=True)
     di = jnp.broadcast_to(di, (B, H, Nq, LANES))
 
+    mask_pad = M != kv_len
     qspec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, ki, qi: (b, h, qi, 0))
     kspec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, ki, qi: (b, h, ki, 0))
     lspec = pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, ki, qi: (b, h, qi, 0))
@@ -274,6 +324,7 @@ def _bwd(sm_scale, causal, kv_len, q_offset, block_q, block_k, res, g):
         functools.partial(
             _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, kv_len=kv_len,
             q_offset=q_offset, block_q=block_q, block_k=block_k, n_q_blocks=n_q,
+            mask_pad=mask_pad,
         ),
         grid=(B, H, n_k, n_q),
         in_specs=[qspec, kspec, kspec, qspec, lspec, lspec],
@@ -295,6 +346,7 @@ def _bwd(sm_scale, causal, kv_len, q_offset, block_q, block_k, res, g):
         functools.partial(
             _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, kv_len=kv_len,
             q_offset=q_offset, block_q=block_q, block_k=block_k, n_kv_blocks=n_k,
+            mask_pad=mask_pad,
         ),
         grid=(B, H, n_q, n_k),
         in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2],
@@ -392,7 +444,14 @@ def flash_attention(
     M = k.shape[1]
     scale = sm_scale if sm_scale is not None else D ** -0.5
 
-    block_q = _pick_block(N, 512) if block_q is None else min(block_q, _ceil_to(N, LANES))
+    if block_q is None:
+        # short sequences: one whole-N q block kills grid/rescale overhead
+        # (with the kv side in one block too, the kernel reduces to a single
+        # plain-softmax pass — e.g. the level-1 640-token spatial sites)
+        np_ = _ceil_to(N, LANES)
+        block_q = np_ if np_ <= 1024 else _pick_block(N, 512)
+    else:
+        block_q = min(block_q, _ceil_to(N, LANES))
     block_k = _pick_block(M, 2560) if block_k is None else min(block_k, _ceil_to(M, LANES))
     block_q, block_k = _fit_blocks(block_q, block_k, D)
     Np, Mp = _ceil_to(N, block_q), _ceil_to(M, block_k)

@@ -142,6 +142,149 @@ def _fused_gn_bwd(groups, eps, silu, res, g):
 _fused_gn.defvjp(_fused_gn_fwd, _fused_gn_bwd)
 
 
+# -- streaming variant: slabs too large for VMEM residency ------------------
+#
+# The resident kernel needs the whole (L, C) sample slab in VMEM; the
+# UNet3D's TemporalConvBlock norms run at (b, t*h*w, C) slabs up to 26 MB
+# (level-0: 40960 x 320) and the level-0 decoder concat norms at 640/960
+# channels — 79 of the 166 GN sites per CFG-pair eval, worth ~50 ms on the
+# XLA path (fp32 upcast + strided convert_reduce, measured round 3 via
+# utils/xplane.py). Streaming form: two grid passes over row chunks —
+# per-chunk fp32 partial moments to HBM (tiny), fold to group stats in XLA
+# (N*C elements), then a normalize+SiLU pass. HBM traffic = 2 reads +
+# 1 write of the bf16 slab, vs the XLA twin's fp32 round-trips.
+
+
+def _stats_kernel(x_ref, m1_ref, m2_ref):
+    xi = x_ref[0].astype(jnp.float32)                      # (chunk, C)
+    m1_ref[0, 0, 0] = jnp.sum(xi, axis=0)
+    m2_ref[0, 0, 0] = jnp.sum(xi * xi, axis=0)
+
+
+def _apply_kernel(x_ref, k_ref, b_ref, o_ref, *, silu: bool):
+    xi = x_ref[0].astype(jnp.float32)
+    y = xi * k_ref[0] + b_ref[0]
+    if silu:
+        y = y * jnp.reciprocal(1.0 + jnp.exp(-y))
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+# chunk budget: bf16 in + bf16 out + fp32 temp per chunk ~8 B/elem; keep
+# chunks ~2 MB of payload so double buffering hides the HBM latency
+_STREAM_CHUNK_ELEMS = 2 ** 20
+
+
+def _stream_chunk(L: int, C: int) -> int:
+    """Largest divisor of L within the chunk budget that tiles cleanly
+    (sublane rule: block rows divisible by 8, or the whole L)."""
+    target = max(_STREAM_CHUNK_ELEMS // C, 1)
+    best = 0
+    for c in range(1, min(target, L) + 1):
+        if L % c == 0 and (c % 8 == 0 or c == L):
+            best = c
+    return best
+
+
+def _streaming_forward(x3, scale, bias, *, groups: int, eps: float,
+                       silu: bool):
+    N, L, C = x3.shape
+    chunk = _stream_chunk(L, C)
+    K = L // chunk
+    m1, m2 = pl.pallas_call(
+        _stats_kernel,
+        grid=(N, K),
+        in_specs=[pl.BlockSpec((1, chunk, C), lambda n, k: (n, k, 0))],
+        # trailing singleton axis keeps the block's last-two dims equal to
+        # the array's (TPU sublane/lane tiling rule)
+        out_specs=[pl.BlockSpec((1, 1, 1, C), lambda n, k: (n, k, 0, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((N, K, 1, C), jnp.float32)] * 2,
+    )(x3)
+
+    # fold partials to group stats (tiny: N*K*C fp32)
+    cg = C // groups
+    n_elems = float(L * cg)
+    s1 = m1.sum(axis=(1, 2)).reshape(N, groups, cg).sum(axis=-1)   # (N, G)
+    s2 = m2.sum(axis=(1, 2)).reshape(N, groups, cg).sum(axis=-1)
+    mu_g = s1 / n_elems
+    inv_g = jax.lax.rsqrt(jnp.maximum(s2 / n_elems - mu_g * mu_g, 0.0) + eps)
+    mu_c = jnp.repeat(mu_g, cg, axis=1)                        # (N, C)
+    inv_c = jnp.repeat(inv_g, cg, axis=1)
+    k = inv_c * scale[None].astype(jnp.float32)
+    b = bias[None].astype(jnp.float32) - mu_c * k
+
+    return pl.pallas_call(
+        functools.partial(_apply_kernel, silu=silu),
+        grid=(N, K),
+        in_specs=[
+            pl.BlockSpec((1, chunk, C), lambda n, kk: (n, kk, 0)),
+            pl.BlockSpec((1, 1, C), lambda n, kk: (n, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda n, kk: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, C), lambda n, kk: (n, kk, 0)),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+    )(x3, k[:, None], b[:, None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _streaming_gn(x3, scale, bias, groups, eps, silu):
+    return _streaming_forward(x3, scale, bias, groups=groups, eps=eps,
+                              silu=silu)
+
+
+def _streaming_gn_fwd(x3, scale, bias, groups, eps, silu):
+    return (_streaming_forward(x3, scale, bias, groups=groups, eps=eps,
+                               silu=silu),
+            (x3, scale, bias))
+
+
+_streaming_gn.defvjp(_streaming_gn_fwd, _fused_gn_bwd)
+
+
+# -- MXU-stats XLA variant: bf16 fallback sites -----------------------------
+#
+# Round-3 xplane data: the fp32 XLA twin at the non-resident sites (the 5D
+# TemporalConvBlock norms) costs ~33 ms/CFG-pair eval — the fp32 upcast
+# reduce (convert_reduce) plus materialized fp32 keepdims-broadcasts of the
+# stats over the whole slab. This variant computes the raw moments as two
+# MXU matvecs over the bf16 slab (ones @ x, ones @ x*x with fp32
+# accumulation — no fp32 slab ever exists), folds them to per-(N, C)
+# affine coefficients in fp32 scalar math, and normalizes in one fused
+# elementwise pass. The second-moment pass is CENTERED on the bf16-rounded
+# group mean (var = E[(x-mu_hat)^2] + (mu-mu_hat)^2, the correction being
+# O(2^-18 mu^2) ~ negligible), so there is no E[x^2]-mu^2 cancellation and
+# the variance error stays at the ~2^-9/sqrt(n) bf16-squaring floor even
+# for large mu/sigma. Streaming-Pallas comparison (v5e, 320x512x16f):
+# Pallas two-pass REGRESSED to 324 ms (slab re-read + lost
+# producer/consumer fusion); this form keeps everything inside XLA fusions.
+
+
+def _mxu_group_norm(x, scale, bias, *, num_groups: int, eps: float,
+                    silu: bool):
+    N, C = x.shape[0], x.shape[-1]
+    x3 = x.reshape(N, -1, C)
+    L = x3.shape[1]
+    cg = C // num_groups
+    ones = jnp.ones((L,), x.dtype)
+    dn = (((0,), (1,)), ((), ()))  # contract L; output (N, C)
+    n_elems = float(L * cg)
+    s1 = jax.lax.dot_general(ones, x3, dn,
+                             preferred_element_type=jnp.float32)
+    mu_g = s1.reshape(N, num_groups, cg).sum(-1) / n_elems     # (N, G)
+    mu_c = jnp.repeat(mu_g, cg, axis=1)                        # (N, C)
+    d = x3 - mu_c[:, None].astype(x.dtype)
+    s2 = jax.lax.dot_general(ones, d * d, dn,
+                             preferred_element_type=jnp.float32)
+    var_g = s2.reshape(N, num_groups, cg).sum(-1) / n_elems
+    inv = jax.lax.rsqrt(var_g + eps)
+    inv_c = jnp.repeat(inv, cg, axis=1)                        # (N, C)
+    k = inv_c * scale[None].astype(jnp.float32)
+    b = bias[None].astype(jnp.float32) - mu_c * k
+    y = x3.astype(jnp.float32) * k[:, None] + b[:, None]
+    if silu:
+        y = y * jnp.reciprocal(1.0 + jnp.exp(-y))
+    return y.astype(x.dtype).reshape(x.shape)
+
+
 def _on_tpu() -> bool:
     d = jax.config.jax_default_device
     if d is not None:
@@ -178,17 +321,32 @@ def fused_group_norm_silu(
     L = 1
     for d in x.shape[1:-1]:
         L *= d
-    eligible = (
-        x.ndim >= 3
-        and C % num_groups == 0
-        and L * C <= _MAX_SLAB_ELEMS
-        and x.dtype == jnp.bfloat16
-    )
-    if force:
-        eligible = x.ndim >= 3 and C % num_groups == 0
-    elif not (eligible and _fused_gn_available()):
+    basic = x.ndim >= 3 and C % num_groups == 0 and x.dtype == jnp.bfloat16
+    resident = basic and L * C <= _MAX_SLAB_ELEMS
+    # Streaming is OPT-IN (PANDORA_STREAMING_GN=1): measured on v5e at
+    # 320x512x16f the full CFG-pair eval REGRESSED to 324 ms vs ~290 ms with
+    # the XLA fallback — the two grid passes re-read the slab from HBM and
+    # lose the fusion XLA gets by folding the (upcast) stats into neighbor
+    # ops. Kept for wider-slab regimes where fp32 round-trips dominate.
+    import os
+    streaming = (basic and not resident
+                 and bool(os.environ.get("PANDORA_STREAMING_GN"))
+                 and _stream_chunk(L, C) * C >= _STREAM_CHUNK_ELEMS // 8)
+    if force:  # tests: True -> resident kernel, "streaming" -> streaming
+        ok = x.ndim >= 3 and C % num_groups == 0
+        resident = ok and force != "streaming"
+        streaming = ok and force == "streaming"
+    elif not ((resident or streaming) and _fused_gn_available()):
+        if basic and _fused_gn_available():
+            # non-resident bf16 sites on TPU: MXU-stats XLA form instead of
+            # the fp32-upcast twin (see _mxu_group_norm rationale above)
+            return _mxu_group_norm(x, scale, bias, num_groups=num_groups,
+                                   eps=eps, silu=silu)
         return _xla_group_norm(x, scale, bias, num_groups=num_groups,
                                eps=eps, silu=silu)
     x3 = x.reshape(x.shape[0], L, C)
-    out = _fused_gn(x3, scale, bias, num_groups, eps, silu)
+    if resident:
+        out = _fused_gn(x3, scale, bias, num_groups, eps, silu)
+    else:
+        out = _streaming_gn(x3, scale, bias, num_groups, eps, silu)
     return out.reshape(x.shape)

@@ -124,6 +124,29 @@ def zero2_opt_spec(ms: MeshSpec, opt_state, min_size: int = 2 ** 16):
     return jax.tree_util.tree_map(leaf_spec, opt_state)
 
 
+def fsdp_param_spec(ms: MeshSpec, params, min_size: int = 2 ** 16):
+    """FSDP / ZeRO-3 analog as sharding specs: every large parameter leaf
+    sharded over the data axis. GSPMD inserts the all-gathers at use sites
+    (forward AND backward re-gather) and reduce-scatters the gradients, so
+    per-chip param memory drops ~n_data-fold — the TPU-native equivalent of
+    the reference's FSDP-wrapped LLM training (ChatUniVi/train/train.py:974
+    fsdp + transformer_layer_cls wrap policy). Tiny leaves (norm scales,
+    biases) stay replicated, like FSDP's min_num_params threshold."""
+    n = ms.n_data
+
+    def leaf_spec(x):
+        shape = tuple(getattr(x, "shape", ()))
+        size = int(np.prod(shape)) if shape else 1
+        ax = _shardable_axis(shape, n)
+        if size < min_size or ax is None:
+            return replicated(ms)
+        spec = [None] * len(shape)
+        spec[ax] = ms.data_axis
+        return ms.named(*spec)
+
+    return jax.tree_util.tree_map(leaf_spec, params)
+
+
 def process_shard_indices(n_items: int) -> range:
     """Per-host slice of a work list (reference: inference.py:276-282
     rank-sharded prompt lists)."""

@@ -109,13 +109,18 @@ def sft_loss(wm: WorldModel, trainable, frozen, batch, key):
 
 
 def make_llm_sft_step(wm: WorldModel, tcfg: TrainConfig,
-                      mesh_spec: Optional[MeshSpec] = None):
+                      mesh_spec: Optional[MeshSpec] = None,
+                      fsdp: bool = False):
     """Full SFT (llama + mm_projector) by default; when the config enables
     LoRA (llama.lora_rank > 0) only the adapters + mm_projector train
-    (ChatUniVi train.py:98-103 lora_enable path)."""
+    (ChatUniVi train.py:98-103 lora_enable path).
+
+    fsdp=True shards the LLaMA params over the data axis (the reference's
+    FSDP-wrapped trainer, ChatUniVi/train/train.py:974) — full-SFT at 7B
+    scale does not fit replicated."""
     import functools
 
     stage = "llm_sft_lora" if wm.cfg.llama.lora_rank > 0 else "llm_sft"
     return make_finetune_step(wm.diffusion, tcfg, mesh_spec=mesh_spec,
-                              stage=stage,
+                              stage=stage, fsdp=fsdp,
                               loss_fn=functools.partial(sft_loss, wm))

@@ -31,7 +31,8 @@ from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
 from open_pandora_tpu.models.encoders import empty_prompt_tokens
 from open_pandora_tpu.models.vae import encode_video
 from open_pandora_tpu.parallel.mesh import (MeshSpec, data_sharding,
-                                            replicated, zero2_opt_spec)
+                                            fsdp_param_spec, replicated,
+                                            zero2_opt_spec)
 from open_pandora_tpu.train.optim import (deep_merge, make_optimizer,
                                            trainable_partition)
 
@@ -275,11 +276,17 @@ def make_finetune_step(
     mesh_spec: Optional[MeshSpec] = None,
     stage: str = "dynamicrafter",
     loss_fn: Optional[Callable] = None,
+    fsdp: bool = False,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """Build (jitted_step, tx). jitted_step(state, batch, key) ->
     (state, metrics). With a MeshSpec: batch sharded over the data axis,
     params replicated, optimizer state ZeRO-2-sharded; XLA inserts the
     gradient psum (DDP semantics) and opt-state collectives.
+
+    fsdp=True additionally shards every large parameter leaf (trainable,
+    frozen, and EMA shadows) over the data axis — the FSDP/ZeRO-3 analog
+    for LLM-scale training (ChatUniVi/train/train.py:974); GSPMD inserts
+    the per-layer all-gathers and gradient reduce-scatters.
     """
     tx = make_optimizer(tcfg)
     lfn = loss_fn or functools.partial(_finetune_loss, model, tcfg)
@@ -307,28 +314,23 @@ def make_finetune_step(
         jitted.raw_step = step  # type: ignore[attr-defined] (offload path)
         return jitted, tx
 
-    def shard_state(state: TrainState) -> TrainState:
-        """Device-put a TrainState with ZeRO-2 shardings applied."""
-        rep = lambda tree: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh_spec)), tree)
-        return TrainState(
-            step=jax.device_put(state.step, replicated(mesh_spec)),
-            trainable=rep(state.trainable),
-            frozen=rep(state.frozen),
-            opt_state=jax.tree_util.tree_map(
-                jax.device_put, state.opt_state,
-                zero2_opt_spec(mesh_spec, state.opt_state)),
-            ema=rep(state.ema) if state.ema is not None else None,
-        )
+    def param_specs(tree):
+        if fsdp:
+            return fsdp_param_spec(mesh_spec, tree)
+        return jax.tree_util.tree_map(lambda _: replicated(mesh_spec), tree)
 
     def state_shardings(state: TrainState):
-        rep = lambda tree: jax.tree_util.tree_map(
-            lambda _: replicated(mesh_spec), tree)
         return TrainState(
-            step=replicated(mesh_spec), trainable=rep(state.trainable),
-            frozen=rep(state.frozen),
+            step=replicated(mesh_spec),
+            trainable=param_specs(state.trainable),
+            frozen=param_specs(state.frozen),
             opt_state=zero2_opt_spec(mesh_spec, state.opt_state),
-            ema=rep(state.ema) if state.ema is not None else None)
+            ema=param_specs(state.ema) if state.ema is not None else None)
+
+    def shard_state(state: TrainState) -> TrainState:
+        """Device-put a TrainState with ZeRO-2 (+ FSDP) shardings applied."""
+        return jax.tree_util.tree_map(jax.device_put, state,
+                                      state_shardings(state))
 
     def batch_shardings(batch):
         return jax.tree_util.tree_map(

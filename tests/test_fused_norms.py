@@ -98,3 +98,86 @@ def test_gating_falls_back(monkeypatch):
 def test_env_var_disables(monkeypatch):
     monkeypatch.setenv("PANDORA_DISABLE_FUSED", "1")
     assert not fn._fused_gn_available()
+
+
+@pytest.mark.parametrize("shape,groups,silu", [
+    ((2, 16, 10, 16, 1280), 32, True),   # TemporalConvBlock level-2 (real)
+    ((2, 8, 20, 32, 640), 32, True),     # level-1-like, trimmed t
+    ((4, 40, 64, 640), 32, True),        # level-0 decoder concat GN
+    ((2, 64, 96), 32, False),            # generic (N, L, C)
+])
+def test_streaming_gn_matches_xla(shape, groups, silu):
+    """The streaming two-pass kernel (slabs too large for VMEM residency)
+    must match the XLA twin bit-for-fp32."""
+    x = jax.random.normal(jax.random.PRNGKey(3), shape) * 3.0
+    c = shape[-1]
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(4), (c,))
+    b = 0.05 * jax.random.normal(jax.random.PRNGKey(5), (c,))
+    out = fn.fused_group_norm_silu(x, s, b, num_groups=groups, silu=silu,
+                                   force="streaming")
+    ref = group_norm(x, s, b, num_groups=groups, silu=silu)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_streaming_gn_grad_matches_xla():
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 12, 8, 64))
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(7), (64,))
+    b = jnp.zeros((64,))
+
+    def loss(fnc):
+        return lambda x, s, b: jnp.sum(
+            fnc(x, s, b) ** 2)
+
+    g1 = jax.grad(loss(lambda x, s, b: fn.fused_group_norm_silu(
+        x, s, b, num_groups=16, silu=True, force="streaming")))(x, s, b)
+    g2 = jax.grad(loss(lambda x, s, b: group_norm(
+        x, s, b, num_groups=16, silu=True)))(x, s, b)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_streaming_gn_routing():
+    """Dispatcher: big bf16 slabs route to streaming, small to resident,
+    fp32 to XLA — verified by shape/epsilon-free structural probes."""
+    big = (2, 16, 40, 64, 320)   # L*C = 13.1M > resident cap
+    L = 16 * 40 * 64
+    assert L * 320 > fn._MAX_SLAB_ELEMS
+    assert fn._stream_chunk(L, 320) * 320 >= fn._STREAM_CHUNK_ELEMS // 8
+
+
+@pytest.mark.parametrize("shape,groups,silu,loc", [
+    ((2, 16, 10, 16, 1280), 32, True, 0.0),  # TemporalConvBlock level-2
+    ((4, 40, 64, 640), 32, True, 0.0),       # level-0 decoder concat GN
+    # high mu/sigma would break an uncentered E[x^2]-mu^2 form; the
+    # centered second pass must hold even on a tiny slab
+    ((2, 24, 64), 8, False, 3.0),
+    ((2, 4096, 64), 8, False, 3.0),
+])
+def test_mxu_group_norm_matches_fp32(shape, groups, silu, loc):
+    """The MXU-stats bf16 form (moments via ones@x / ones@x*x dots with
+    fp32 accumulation) must track the fp32 reference within the bf16
+    noise floor, including nonzero-mean inputs where E[x^2]-mu^2
+    cancellation is worst."""
+    c = shape[-1]
+    x = (jax.random.normal(jax.random.PRNGKey(11), shape) * 0.3 + loc)
+    xb = x.astype(jnp.bfloat16)
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(12), (c,))
+    b = 0.05 * jax.random.normal(jax.random.PRNGKey(13), (c,))
+    out = fn._mxu_group_norm(xb, s, b, num_groups=groups, eps=1e-5,
+                             silu=silu)
+    assert out.dtype == jnp.bfloat16
+    ref = group_norm(xb.astype(jnp.float32), s, b, num_groups=groups,
+                     silu=silu)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_mxu_group_norm_grad_finite():
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, 12, 64),
+                          dtype=jnp.bfloat16)
+    s = jnp.ones((64,)); b = jnp.zeros((64,))
+    g = jax.grad(lambda x: jnp.sum(fn._mxu_group_norm(
+        x, s, b, num_groups=16, eps=1e-5, silu=True)
+        .astype(jnp.float32)))(x)
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())

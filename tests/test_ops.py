@@ -146,3 +146,36 @@ def test_group_norm_silu_fused():
     plain = group_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
     ref = np.asarray(plain) / (1 + np.exp(-np.asarray(plain)))
     np.testing.assert_allclose(np.asarray(fused), ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,m,causal", [
+    (256, 256, False),   # single kv block, mask-free fast path
+    (640, 640, False),   # whole-N q block (Np <= 1024) + single kv block
+    (640, 640, True),    # causal through the single-block kernel
+    (300, 300, False),   # padded kv -> mask_pad in the single-block kernel
+    (300, 300, True),    # padded + causal
+])
+def test_flash_single_kv_block_default_blocks(n, m, causal):
+    """Default block picking routes these through _fwd_kernel_single
+    (plain softmax, no online-rescale scratch); must match XLA exactly."""
+    q = _rand(7, 2, n, 3, 64)
+    k = _rand(8, 2, m, 3, 64)
+    v = _rand(9, 2, m, 3, 64)
+    out = fa.flash_attention(q, k, v, causal=causal)
+    ref = mha_xla(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_single_block_grads():
+    q = _rand(10, 1, 256, 2, 64)
+    k = _rand(11, 1, 256, 2, 64)
+    v = _rand(12, 1, 256, 2, 64)
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        fa.flash_attention(q, k, v) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        mha_xla(q, k, v) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
