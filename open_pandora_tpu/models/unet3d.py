@@ -265,6 +265,12 @@ class BasicTransformerBlock(nn.Module):
             # context=None -> CrossAttention self-attends on the NORMED
             # input (attention.py:243-244 passes norm2(x) and CrossAttention
             # defaults context to it) — not on the raw residual stream.
+        # NOTE (round-3 measurement): the GEGLU FF stays on plain XLA on
+        # purpose. A fully fused Pallas LN+GEGLU+residual kernel
+        # (ops/fused_geglu.py) measured 10-20x SLOWER than the XLA lowering
+        # at every UNet shape on v5e, and the in-program XLA FF is fast once
+        # neighboring convs pin sane layouts (tconv+ff3d chain: 2.4 ms at
+        # the level-0 temporal shape vs 21 ms for an isolated 3D FF).
         x = x + FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
             LayerNorm(name="norm3")(x), deterministic)
         return x

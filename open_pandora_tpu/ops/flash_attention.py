@@ -395,6 +395,12 @@ def _pick_block(n: int, target: int) -> int:
 
 
 _VMEM_BUDGET = 10 * 2 ** 20  # leave headroom under the 16 MB scoped limit
+# Tighter cap for the single-kv-block kernel: the 10 MB model admits
+# (bq=512, bk=2560) whose real working set spills (measured 7.8 ms in-program
+# vs 3.9 ms for (256, 2560) at the level-0 spatial shape on v5e — the model
+# under-counts fp32 exp intermediates). 4.5 MB keeps every swept winner and
+# rejects every swept spiller.
+_VMEM_SINGLE_BUDGET = 9 * 2 ** 19
 
 
 def _fwd_vmem_bytes(bq: int, bk: int, d: int) -> int:
@@ -444,15 +450,33 @@ def flash_attention(
     M = k.shape[1]
     scale = sm_scale if sm_scale is not None else D ** -0.5
 
-    if block_q is None:
-        # short sequences: one whole-N q block kills grid/rescale overhead
-        # (with the kv side in one block too, the kernel reduces to a single
-        # plain-softmax pass — e.g. the level-1 640-token spatial sites)
-        np_ = _ceil_to(N, LANES)
-        block_q = np_ if np_ <= 1024 else _pick_block(N, 512)
+    if block_q is None and block_k is None:
+        # v5e-swept default policy: prefer the single-kv-block kernel (plain
+        # softmax, no online-rescale scratch) with the largest pad-free q
+        # block that fits _VMEM_SINGLE_BUDGET. Sweep at the product shapes:
+        # N=2560 -> (256, 2560) 3.9 ms (vs 4.5 multi, 7.8 for the spilling
+        # (512, 2560)); N=640 -> whole-N (640, 640) 0.25 ms.
+        np_, mp_ = _ceil_to(N, LANES), _ceil_to(M, LANES)
+        if mp_ <= 2560:
+            cands = sorted({b for b in (np_ if np_ <= 1024 else 0,
+                                        1024, 512, 256, 128)
+                            if LANES <= b <= np_ and np_ % b == 0},
+                           reverse=True)
+            for b in cands:
+                if _fwd_vmem_bytes(b, mp_, D) <= _VMEM_SINGLE_BUDGET:
+                    block_q, block_k = b, mp_
+                    break
+        if block_q is None:  # multi-block fallback (long kv, e.g. VAE@9216)
+            block_q = _pick_block(N, 512)
+            block_k = _pick_block(M, 2560)
     else:
-        block_q = min(block_q, _ceil_to(N, LANES))
-    block_k = _pick_block(M, 2560) if block_k is None else min(block_k, _ceil_to(M, LANES))
+        if block_q is None:
+            np_ = _ceil_to(N, LANES)
+            block_q = np_ if np_ <= 1024 else _pick_block(N, 512)
+        else:
+            block_q = min(block_q, _ceil_to(N, LANES))
+        block_k = (_pick_block(M, 2560) if block_k is None
+                   else min(block_k, _ceil_to(M, LANES)))
     block_q, block_k = _fit_blocks(block_q, block_k, D)
     Np, Mp = _ceil_to(N, block_q), _ceil_to(M, block_k)
 

@@ -108,13 +108,15 @@ def parse_xspace(data: bytes) -> List[Dict]:
                     elif ln == 11:
                         line_name = lv.decode("utf-8", "replace") or line_name
                     elif ln == 4:  # XEvent
-                        mid = dur = 0
+                        mid = dur = off = 0
                         for en, ew, ev in _fields(lv):
                             if en == 1:
                                 mid = ev
+                            elif en == 2 and ew == 0:
+                                off = ev
                             elif en == 3 and ew == 0:
                                 dur = ev
-                        events.append((mid, dur))
+                        events.append((mid, dur, off))
                 plane["lines"].append({"name": line_name, "events": events})
         planes.append(plane)
     return planes
@@ -136,10 +138,34 @@ def op_totals_from_file(path: str, plane_filter: str = "TPU",
         for line in plane["lines"]:
             if line_filter.lower() not in line["name"].lower():
                 continue
-            for mid, dur_ps in line["events"]:
+            for mid, dur_ps, _off in line["events"]:
                 name = plane["meta"].get(mid, f"#{mid}")
                 totals[name] += dur_ps / 1e9  # ps -> ms
     return dict(totals)
+
+
+def op_events_from_file(path: str, plane_filter: str = "TPU",
+                        line_filter: str = "",
+                        ) -> List[Tuple[str, float, float]]:
+    """Flat [(op_name, offset_ms, duration_ms)] over matching lines —
+    ordered timeline data for exclusive-coverage analysis (op_totals alone
+    cannot distinguish overlapping async windows from serialized compute).
+    NOTE: line_filter is a substring match, so 'XLA Ops' also matches the
+    'Async XLA Ops' line — pass 'async' explicitly or post-filter."""
+    with open(path, "rb") as f:
+        planes = parse_xspace(f.read())
+    out: List[Tuple[str, float, float]] = []
+    for plane in planes:
+        if plane_filter.lower() not in plane["name"].lower():
+            continue
+        for line in plane["lines"]:
+            if line_filter.lower() not in line["name"].lower():
+                continue
+            for mid, dur_ps, off_ps in line["events"]:
+                out.append((plane["meta"].get(mid, f"#{mid}"),
+                            off_ps / 1e9, dur_ps / 1e9))
+    out.sort(key=lambda e: e[1])
+    return out
 
 
 def line_names_from_file(path: str) -> List[Tuple[str, str, int]]:
