@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from open_pandora_tpu.ops.attention_xla import mha_xla
 from open_pandora_tpu.ops.flash_attention import flash_attention
+from open_pandora_tpu.ops.small_attention import (small_attention,
+                                                  small_attention_eligible)
 
 # below this q*kv size, the scores matrix is small enough that XLA's fused
 # softmax-attention is as fast as a custom kernel
@@ -50,17 +52,28 @@ def attention(
 ) -> jnp.ndarray:
     """Multi-head attention, q (B, N, H, D), k/v (B, M, H, D) -> (B, N, H, D).
 
-    backend: 'auto' | 'flash' | 'xla'. Arbitrary masks force the XLA path
-    (the flash kernel supports causal + kv-length masking only).
+    backend: 'auto' | 'flash' | 'small' | 'xla'. Arbitrary masks force the
+    XLA path (the Pallas kernels support causal + kv-length masking only).
     """
     if backend == "auto":
-        use_flash = (
-            _on_tpu()
-            and mask is None
-            and q.shape[1] >= _FLASH_MIN_Q
-            and k.shape[1] >= _FLASH_MIN_KV
-        )
-        backend = "flash" if use_flash else "xla"
+        if (_on_tpu() and mask is None
+                and q.shape[1] >= _FLASH_MIN_Q
+                and k.shape[1] >= _FLASH_MIN_KV):
+            backend = "flash"
+        elif (_on_tpu() and mask is None and not causal
+              and small_attention_eligible(
+                  q.shape[1], k.shape[1], q.shape[0] * q.shape[2])):
+            # tiny-N huge-batch sites (temporal t=16 attention): the XLA
+            # lowering materializes (B, H, N, M) fp32 scores in HBM with 8x
+            # layout padding — the hi-res train step's biggest allocation
+            # class; the batch-tiled kernel keeps scores in VMEM
+            backend = "small"
+        else:
+            backend = "xla"
+    if backend == "small":
+        if mask is not None or causal:
+            raise ValueError("small backend supports unmasked attention only")
+        return small_attention(q, k, v, sm_scale=sm_scale)
     if backend == "flash":
         if mask is not None:
             raise ValueError("flash backend supports causal masking only")

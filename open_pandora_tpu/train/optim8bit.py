@@ -111,19 +111,31 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         mu_leaves = treedef.flatten_up_to(state.mu)
         nu_leaves = treedef.flatten_up_to(state.nu)
         new_u, new_mu, new_nu = [], [], []
-        # chain in groups of 8: full serial chaining over ~500 leaves made
-        # the TPU compiler segfault; every leaf in group k+1 depends on ALL
-        # of group k (via the summed token), bounding concurrent fp32
-        # temps to ~2 groups while keeping the graph shallow
+        # chain in BYTE-BUDGETED groups: full serial chaining over ~500
+        # leaves made the TPU compiler segfault; every leaf in group k+1
+        # depends on ALL of group k (via the summed token), bounding
+        # concurrent fp32 temps to ~2 groups while keeping the graph
+        # shallow. The budget is on bytes, not leaf count — a fixed
+        # group-of-8 admitted eight 112.5 MB fp32 dequant temps per moment
+        # at once (the 3x3x2560x1280 decoder concat convs dominated the
+        # 576x1024 train-step OOM dump), while hundreds of sub-1 MB leaves
+        # don't need splitting at all.
         token = jnp.zeros((), jnp.float32)
         group_tokens = []
+        group_bytes = 0
+        _GROUP_BYTE_BUDGET = 96 * 2 ** 20  # fp32 moment bytes per group
+        _GROUP_MAX_LEAVES = 8
         n_leaves = len(g_leaves)
         for i, (g, mq, nq) in enumerate(zip(g_leaves, mu_leaves, nu_leaves)):
             u, m2, n2, t = per_leaf(g, mq, nq, token)
             group_tokens.append(t)
-            if len(group_tokens) == 8 or i == n_leaves - 1:
+            group_bytes += g.size * 4
+            if (len(group_tokens) == _GROUP_MAX_LEAVES
+                    or group_bytes >= _GROUP_BYTE_BUDGET
+                    or i == n_leaves - 1):
                 token = functools.reduce(jnp.add, group_tokens)
                 group_tokens = []
+                group_bytes = 0
             new_u.append(u)
             new_mu.append(m2)
             new_nu.append(n2)
