@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from open_pandora_tpu.core.config import UNet3DConfig
 from open_pandora_tpu.diffusion.schedule import timestep_embedding
 from open_pandora_tpu.ops.attention import attention
+from open_pandora_tpu.ops.dual_cross_attention import (
+    dual_cross_attention, dual_cross_attention_eligible)
 from open_pandora_tpu.ops.norms import layer_norm
 
 
@@ -108,17 +110,29 @@ class CrossAttention(nn.Module):
             v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ctx_img)
             m = ctx_text.shape[1]
             mi = ctx_img.shape[1]
-            out = attention(qh, k.reshape(b, m, self.heads, self.dim_head),
-                            v.reshape(b, m, self.heads, self.dim_head))
-            out_ip = attention(qh, k_ip.reshape(b, mi, self.heads, self.dim_head),
-                               v_ip.reshape(b, mi, self.heads, self.dim_head))
-            out = out.reshape(b, n, inner)
-            out_ip = out_ip.reshape(b, n, inner)
+            gate = jnp.ones((), self.dtype)
             if self.image_ca_scale_learnable:
                 alpha = self.param("alpha", nn.initializers.zeros, ())
-                out = out + out_ip * (jnp.tanh(alpha) + 1.0)
+                gate = jnp.tanh(alpha) + 1.0
+            kh = k.reshape(b, m, self.heads, self.dim_head)
+            vh = v.reshape(b, m, self.heads, self.dim_head)
+            kih = k_ip.reshape(b, mi, self.heads, self.dim_head)
+            vih = v_ip.reshape(b, mi, self.heads, self.dim_head)
+            if (deterministic and x.dtype == jnp.bfloat16
+                    and _fused_available()
+                    and dual_cross_attention_eligible(
+                        n, m, mi, self.dim_head)):
+                # eval fast path: one kernel computes both KV streams'
+                # softmax-attention per q block and fuses the gated add —
+                # the text stream otherwise runs XLA's small-KV chain with
+                # an fp32 score tensor in the loose-fusion tail
+                out = dual_cross_attention(qh, kh, vh, kih, vih, gate)
+                out = out.reshape(b, n, inner)
             else:
-                out = out + out_ip
+                out = attention(qh, kh, vh)
+                out_ip = attention(qh, kih, vih)
+                out = (out + gate * out_ip.astype(out.dtype)
+                       ).reshape(b, n, inner)
         else:
             if not self_attn:
                 ctx = ctx[:, : self.text_context_len]

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, which overrides the env var above and
+# makes the first backends() call try to initialize the (possibly down)
+# axon tunnel — blocking every test process for minutes. Re-override to
+# cpu-only AFTER import; config.update wins over sitecustomize's update.
+jax.config.update("jax_platforms", "cpu")
+
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
