@@ -37,6 +37,9 @@ from open_pandora_tpu.diffusion.schedule import timestep_embedding
 from open_pandora_tpu.ops.attention import attention
 from open_pandora_tpu.ops.dual_cross_attention import (
     dual_cross_attention, dual_cross_attention_eligible)
+from open_pandora_tpu.ops.packed_attention import (
+    dual_cross_attention_packed, packed_attention_eligible,
+    self_attention_packed)
 from open_pandora_tpu.ops.norms import layer_norm
 
 
@@ -114,21 +117,29 @@ class CrossAttention(nn.Module):
             if self.image_ca_scale_learnable:
                 alpha = self.param("alpha", nn.initializers.zeros, ())
                 gate = jnp.tanh(alpha) + 1.0
-            kh = k.reshape(b, m, self.heads, self.dim_head)
-            vh = v.reshape(b, m, self.heads, self.dim_head)
-            kih = k_ip.reshape(b, mi, self.heads, self.dim_head)
-            vih = v_ip.reshape(b, mi, self.heads, self.dim_head)
-            if (deterministic and x.dtype == jnp.bfloat16
-                    and _fused_available()
-                    and dual_cross_attention_eligible(
-                        n, m, mi, self.dim_head)):
-                # eval fast path: one kernel computes both KV streams'
-                # softmax-attention per q block and fuses the gated add —
-                # the text stream otherwise runs XLA's small-KV chain with
-                # an fp32 score tensor in the loose-fusion tail
+            fast = (deterministic and x.dtype == jnp.bfloat16
+                    and _fused_available())
+            if fast and packed_attention_eligible(
+                    n, (m, mi), self.heads, inner):
+                # eval fast path, packed layout: one kernel computes both
+                # KV streams' softmax-attention per q block and fuses the
+                # gated add, consuming the (b, n, h*d) projections as-is —
+                # no head-split reshape or (b,h,n,d) relayout copies
+                out = dual_cross_attention_packed(
+                    q, k, v, k_ip, v_ip, gate, heads=self.heads)
+            elif fast and dual_cross_attention_eligible(
+                    n, m, mi, self.dim_head):
+                kh = k.reshape(b, m, self.heads, self.dim_head)
+                vh = v.reshape(b, m, self.heads, self.dim_head)
+                kih = k_ip.reshape(b, mi, self.heads, self.dim_head)
+                vih = v_ip.reshape(b, mi, self.heads, self.dim_head)
                 out = dual_cross_attention(qh, kh, vh, kih, vih, gate)
                 out = out.reshape(b, n, inner)
             else:
+                kh = k.reshape(b, m, self.heads, self.dim_head)
+                vh = v.reshape(b, m, self.heads, self.dim_head)
+                kih = k_ip.reshape(b, mi, self.heads, self.dim_head)
+                vih = v_ip.reshape(b, mi, self.heads, self.dim_head)
                 out = attention(qh, kh, vh)
                 out_ip = attention(qh, kih, vih)
                 out = (out + gate * out_ip.astype(out.dtype)
@@ -139,10 +150,19 @@ class CrossAttention(nn.Module):
             m = ctx.shape[1]
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-            out = attention(qh, k.reshape(b, m, self.heads, self.dim_head),
-                            v.reshape(b, m, self.heads, self.dim_head),
-                            mask=mask)
-            out = out.reshape(b, n, inner)
+            if (deterministic and x.dtype == jnp.bfloat16 and mask is None
+                    and _fused_available()
+                    and packed_attention_eligible(n, (m,), self.heads,
+                                                  inner)):
+                # packed-layout kernel: the spatial self-attention (and
+                # 77-token text cross-attn) without the head-split reshape
+                # and (b,h,n,d) relayout copies around the flash kernel
+                out = self_attention_packed(q, k, v, heads=self.heads)
+            else:
+                out = attention(qh, k.reshape(b, m, self.heads, self.dim_head),
+                                v.reshape(b, m, self.heads, self.dim_head),
+                                mask=mask)
+                out = out.reshape(b, n, inner)
 
         out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)

@@ -22,27 +22,31 @@ def _interpret(monkeypatch):
                         functools.partial(sa.pl.pallas_call, interpret=True))
 
 
-@pytest.mark.parametrize("B,t,H,D,G", [(24, 4, 2, 16, 8), (17, 4, 2, 16, 8)])
-def test_small_self_attention_parity(B, t, H, D, G):
+@pytest.mark.parametrize("B,t,H,D", [(24, 4, 2, 16), (17, 4, 2, 16)])
+def test_small_attention_parity(B, t, H, D):
+    # batch-tiled tiny-sequence kernel (API reworked in the round-3
+    # batch-tiling change; deeper coverage in test_small_attention.py)
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (B, t, H, D))
     k = jax.random.normal(jax.random.PRNGKey(1), (B, t, H, D))
     v = jax.random.normal(jax.random.PRNGKey(2), (B, t, H, D))
-    out = sa.small_self_attention(q.reshape(B, t, H * D),
-                                  k.reshape(B, t, H * D),
-                                  v.reshape(B, t, H * D), heads=H, group=G)
-    ref = mha_xla(q, k, v).reshape(B, t, H * D)
+    out = sa.small_attention(q, k, v)
+    ref = mha_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
 
-def test_small_self_attention_causal():
+def test_causal_routes_away_from_small():
+    """The tiny-seq kernel is unmasked-only; the dispatcher must send
+    causal tiny-seq attention to the XLA path, never to 'small'."""
+    import importlib
+    disp = importlib.import_module("open_pandora_tpu.ops.attention")
     B, t, H, D = 16, 4, 1, 16
     q = jax.random.normal(jax.random.PRNGKey(0), (B, t, H, D))
-    out = sa.small_self_attention(q.reshape(B, t, D), q.reshape(B, t, D),
-                                  q.reshape(B, t, D), heads=1, group=8,
-                                  causal=True)
-    ref = mha_xla(q, q, q, causal=True).reshape(B, t, D)
+    with pytest.raises(ValueError):
+        disp.attention(q, q, q, causal=True, backend="small")
+    out = disp.attention(q, q, q, causal=True)  # auto -> xla on this host
+    ref = mha_xla(q, q, q, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
