@@ -199,6 +199,24 @@ def main():
         breakdown["hires_sampling_s"] = round(t_synth_h, 2)
         breakdown["hires_decode_s"] = round(t_dec_h, 3)
 
+    # --- config 5 adjunct: the hi-res train-step probe
+    # (tools/hires_train_probe.py) is a separate long-compile process; its
+    # most recent measured result is committed as HIRES_TRAIN_r03.json and
+    # merged here so the number lands in the BENCH breakdown. It is labeled
+    # with its source rather than re-measured inside the bench budget.
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "HIRES_TRAIN_r03.json")
+    if os.path.exists(probe_path):
+        try:
+            with open(probe_path) as f:
+                probe = json.load(f)
+            breakdown["hires_train_step_s"] = probe.get("sec_per_step")
+            breakdown["hires_train_hbm_peak_gb"] = probe.get("hbm_peak_gb")
+            breakdown["hires_train_source"] = probe.get(
+                "metric", "") + " (recorded, tools/hires_train_probe.py)"
+        except Exception:
+            pass
+
     out = {
         "metric": "sec_per_full_2s_320x512_16f_ddim50_clip",
         "value": round(t_clip, 3),
