@@ -36,6 +36,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from open_pandora_tpu.ops.attention_xla import mha_xla
 
@@ -106,6 +107,105 @@ def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
         x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
 
 
+# -- multi-KV-block regime (hi-res N=M=9216 spatial self-attention) ---------
+#
+# Same lane-group/masked-matmul framework, flash-style online softmax over
+# KV blocks. The per-head running max / normalizer are kept REPLICATED
+# across the head's d lanes of an (bq, hd) fp32 scratch slab, so every
+# read, broadcast, rescale and write is a full-group aligned vector op —
+# no sub-tile slice ever touches the stats.
+
+_MULTI_BLOCK_K = 1024
+
+
+def _kernel_multi(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, heads: int, d: int, m_real: int, bk: int):
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    q = q_ref[0]                               # (bq, hd)
+    hd = q.shape[1]
+    n_groups = (hd + LANES - 1) // LANES
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        l_ref[...] = jnp.zeros(l_ref.shape, l_ref.dtype)
+
+    for g in range(n_groups):
+        lo = g * LANES
+        wg = min(LANES, hd - lo)
+        qg = q[:, lo:lo + wg]
+        kg = k_ref[0][:, lo:lo + wg]           # (bk, wg)
+        vg = v_ref[0][:, lo:lo + wg]
+        acc_g = acc_ref[:, lo:lo + wg]
+        m_g = m_ref[:, lo:lo + wg]
+        l_g = l_ref[:, lo:lo + wg]
+        for h in range(heads):
+            off = h * d - lo
+            if off < 0 or off >= wg:
+                continue
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, wg), 1)
+            hm = (lane >= off) & (lane < off + d)
+            qm = jnp.where(hm, qg, jnp.zeros((), qg.dtype))
+            s = jax.lax.dot_general(
+                qm, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < m_real, s, MASK_VALUE)
+            # replicated per-head stats: any masked lane holds the value
+            m_old = jnp.max(jnp.where(hm, m_g, -jnp.inf), axis=1,
+                            keepdims=True)
+            l_old = jnp.max(jnp.where(hm, l_g, 0.0), axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_old - m_new)
+            l_new = corr * l_old + jnp.sum(p, axis=1, keepdims=True)
+            vm = jnp.where(hm, vg, jnp.zeros((), vg.dtype))
+            pv = jax.lax.dot(p.astype(vm.dtype), vm,
+                             preferred_element_type=jnp.float32)
+            acc_g = jnp.where(hm, acc_g * corr + pv, acc_g)
+            m_g = jnp.where(hm, m_new, m_g)
+            l_g = jnp.where(hm, l_new, l_g)
+        acc_ref[:, lo:lo + wg] = acc_g
+        m_ref[:, lo:lo + wg] = m_g
+        l_ref[:, lo:lo + wg] = l_g
+
+    @pl.when(ki == n_k - 1)
+    def _out():
+        l = l_ref[...]
+        o_ref[0] = (acc_ref[...]
+                    / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def _packed_call_multi(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       heads: int, scale: float,
+                       block_q: Optional[int]) -> jnp.ndarray:
+    b, n, hd = q.shape
+    d = hd // heads
+    bq = _DEFAULT_BLOCK_Q if block_q is None else block_q
+    np_ = _ceil_to(n, bq)
+    mp = _ceil_to(k.shape[1], _MULTI_BLOCK_K)
+    tq = _pad_rows(q, np_)
+    tk, tv = _pad_rows(k, mp), _pad_rows(v, mp)
+
+    q_spec = pl.BlockSpec((1, bq, hd), lambda b_, i, j: (b_, i, 0))
+    kv_spec = pl.BlockSpec((1, _MULTI_BLOCK_K, hd),
+                           lambda b_, i, j: (b_, j, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel_multi, scale=scale, heads=heads, d=d,
+                          m_real=k.shape[1], bk=_MULTI_BLOCK_K),
+        grid=(b, np_ // bq, mp // _MULTI_BLOCK_K),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, np_, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32),
+                        pltpu.VMEM((bq, hd), jnp.float32),
+                        pltpu.VMEM((bq, hd), jnp.float32)],
+    )(tq, tk, tv)
+    return out[:, :n]
+
+
 def _packed_call(q: jnp.ndarray,
                  streams: Sequence[Tuple[jnp.ndarray, jnp.ndarray, bool]],
                  gate: jnp.ndarray, heads: int, scale: float,
@@ -143,25 +243,34 @@ def _packed_call(q: jnp.ndarray,
     return out[:, :n]
 
 
+_MAX_KV_ROWS_MULTI = 16384
+
+
 def packed_attention_eligible(n: int, ms: Sequence[int], heads: int,
                               hd: int) -> bool:
-    """Single-kv-block packed regime: every stream's padded KV fits one
-    VMEM block; q long enough that a kernel beats XLA's fused small-attn;
-    head dim must pack into 128-lane groups."""
+    """Packed-regime gate. Multi-stream (dual) requires every stream's
+    padded KV to fit one VMEM block; single-stream also admits the
+    multi-KV-block online-softmax kernel (hi-res 9216-token self-attn).
+    q must be long enough that a kernel beats XLA's fused small-attn, and
+    the head dim must pack into 128-lane groups."""
     import os
     if os.environ.get("PANDORA_DISABLE_PACKED"):
         return False
     if heads == 0 or hd % heads:
         return False
     d = hd // heads
-    return (d <= 128 and LANES % d == 0 and n >= 512
-            and all(_ceil_to(m, LANES) <= _MAX_KV_ROWS for m in ms))
+    if not (d <= 128 and LANES % d == 0 and n >= 512):
+        return False
+    cap = _MAX_KV_ROWS_MULTI if len(ms) == 1 else _MAX_KV_ROWS
+    return all(_ceil_to(m, LANES) <= cap for m in ms)
 
 
 # ---- self-attention -------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _self_packed(q, k, v, heads, scale, block_q):
+    if _ceil_to(k.shape[1], LANES) > _MAX_KV_ROWS:
+        return _packed_call_multi(q, k, v, heads, scale, block_q)
     one = jnp.ones((), jnp.float32)
     return _packed_call(q, [(k, v, False)], one, heads, scale, block_q)
 

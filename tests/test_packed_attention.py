@@ -64,6 +64,38 @@ def test_dual_packed_parity(b, n, mt, mi, heads, hd, gate):
                                np.asarray(ref, np.float32), atol=2e-5)
 
 
+def test_multi_kv_block_parity(monkeypatch):
+    """Online-softmax multi-KV-block regime (hi-res 9216-token self-attn),
+    shrunk: force a small KV block so several blocks run."""
+    monkeypatch.setattr(pa, "_MULTI_BLOCK_K", 128)
+    monkeypatch.setattr(pa, "_MAX_KV_ROWS", 128)  # push M=300 to multi
+    b, n, m, heads, hd = 1, 576, 300, 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (_mk(ks[0], b, n, hd, jnp.float32),
+               _mk(ks[1], b, m, hd, jnp.float32),
+               _mk(ks[2], b, m, hd, jnp.float32))
+    out = pa.self_attention_packed(q, k, v, heads=heads, block_q=256)
+    ref = mha_xla(_ref_heads(q, heads), _ref_heads(k, heads),
+                  _ref_heads(v, heads)).reshape(b, n, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_multi_kv_block_parity_oddheads(monkeypatch):
+    """Multi-block with d=64 heads straddling 128-lane groups (hd=320)."""
+    monkeypatch.setattr(pa, "_MULTI_BLOCK_K", 128)
+    monkeypatch.setattr(pa, "_MAX_KV_ROWS", 128)
+    b, n, m, heads, hd = 1, 512, 384, 5, 320
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (_mk(ks[0], b, n, hd, jnp.bfloat16),
+               _mk(ks[1], b, m, hd, jnp.bfloat16),
+               _mk(ks[2], b, m, hd, jnp.bfloat16))
+    out = pa.self_attention_packed(q, k, v, heads=heads, block_q=512)
+    ref = mha_xla(_ref_heads(q, heads), _ref_heads(k, heads),
+                  _ref_heads(v, heads)).reshape(b, n, hd)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=4e-2)
+
+
 def test_gradients_match_fallback():
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     q, k, v = (_mk(ks[0], 1, 512, 128, jnp.float32),
@@ -85,5 +117,7 @@ def test_eligibility():
     assert pa.packed_attention_eligible(2560, (2560,), 5, 320)
     assert pa.packed_attention_eligible(2560, (77, 256), 5, 320)
     assert not pa.packed_attention_eligible(160, (77,), 5, 320)    # short q
-    assert not pa.packed_attention_eligible(9216, (9216,), 5, 320)  # big kv
+    # single-stream big KV -> multi-KV-block regime; dual stays capped
+    assert pa.packed_attention_eligible(9216, (9216,), 5, 320)
+    assert not pa.packed_attention_eligible(9216, (9216, 256), 5, 320)
     assert not pa.packed_attention_eligible(2560, (2560,), 5, 321)  # hd split
