@@ -215,7 +215,11 @@ def _packed_call(q: jnp.ndarray,
     d = hd // heads
     np_ = _ceil_to(n, LANES)
     if block_q is None:
-        bq = np_ if np_ <= 1024 else _DEFAULT_BLOCK_Q
+        import os
+        env_bq = os.environ.get("PANDORA_PACKED_BLOCKQ")  # sweep override
+        bq = (int(env_bq) if env_bq
+              else np_ if np_ <= 1024 else _DEFAULT_BLOCK_Q)
+        bq = min(bq, np_)
     else:
         bq = min(block_q, np_)
     np_ = _ceil_to(np_, bq)
