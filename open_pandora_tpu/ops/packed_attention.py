@@ -217,8 +217,13 @@ def _packed_call(q: jnp.ndarray,
     if block_q is None:
         import os
         env_bq = os.environ.get("PANDORA_PACKED_BLOCKQ")  # sweep override
+        # whole-N only for small q: at bq=640/hd=640 the real-TPU compile
+        # overflows the 16 MB scoped-VMEM stack (21.6 MB — the unrolled
+        # per-head fp32 score temporaries stay live across the head loop);
+        # bq=256 compiles and runs at every product shape (measured
+        # 2026-08-18, profile_unet packed_bq256)
         bq = (int(env_bq) if env_bq
-              else np_ if np_ <= 1024 else _DEFAULT_BLOCK_Q)
+              else np_ if np_ <= 512 else _DEFAULT_BLOCK_Q)
         bq = min(bq, np_)
     else:
         bq = min(block_q, np_)
