@@ -226,8 +226,9 @@ class FeedForward(nn.Module):
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             return proj_out(h)
 
+        import math
         n = x.shape[0]
-        elems = n * x.shape[1] * inner * 2
+        elems = math.prod(x.shape[:-1]) * inner * 2
         if elems <= self.CHUNK_THRESHOLD:
             return ff(x)
         chunks = 2
@@ -266,20 +267,24 @@ class BasicTransformerBlock(nn.Module):
         inner = self.heads * self.dim_head
         dim = x.shape[-1]
         use_fused = (
-            self.fused_temporal and deterministic and context is None
-            and self_mask is None and x.shape[1] <= 32
-            and dim * inner <= 640 * 1280
-            and x.dtype == jnp.bfloat16  # golden fp32 mode uses the XLA twin
-            and _fused_available())
+            self.fused_temporal and context is None and self_mask is None
+            and _fused_temporal_ok(x.shape[1], dim, inner, x.dtype,
+                                   deterministic))
         if use_fused:
             from open_pandora_tpu.ops.fused_temporal import (
-                fused_temporal_self_attention)
+                fused_temporal_self_attention,
+                fused_temporal_self_attention_native)
+            # 4-D input = the native (b, t, hw, c) temporal stream (see
+            # TemporalTransformer) — attention windows are gathered by the
+            # kernel's strided BlockSpec instead of a global transpose
+            fn = (fused_temporal_self_attention_native if x.ndim == 4
+                  else fused_temporal_self_attention)
             for attn_name, norm_name in (("attn1", "norm1"),
                                          ("attn2", "norm2")):
                 g, b = _LNParams(name=norm_name)(dim)
                 hold = _AttnParams(dim, inner, name=attn_name)
                 wq, wk, wv, wo, bo = hold()
-                x = fused_temporal_self_attention(
+                x = fn(
                     x, wq.astype(self.dtype), wk.astype(self.dtype),
                     wv.astype(self.dtype), wo.astype(self.dtype),
                     bo.astype(self.dtype), g, b, heads=self.heads)
@@ -324,6 +329,18 @@ class _AttnParams(nn.Module):
         wo, bo = _DenseParams(self.dim, self.inner, use_bias=True,
                               name="to_out_0")()
         return wq, wk, wv, wo, bo
+
+
+def _fused_temporal_ok(t: int, dim: int, inner: int, dtype,
+                       deterministic: bool) -> bool:
+    """Shared eligibility for the fused temporal-attention kernel: callers
+    that pick the native 4-D stream (TemporalTransformer) must agree with
+    BasicTransformerBlock's routing, or a 4-D input would fall through to
+    the 3-D CrossAttention twin."""
+    return (deterministic and t <= 32
+            and dim * inner <= 640 * 1280
+            and dtype == jnp.bfloat16  # golden fp32 mode uses the XLA twin
+            and _fused_available())
 
 
 def _fused_available() -> bool:
@@ -393,12 +410,25 @@ class TemporalTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # x: (b, t, h, w, c)
+        import os
         b, t, h, w, c = x.shape
         inner = self.heads * self.dim_head
         x_in = x
         y = GroupNorm32(eps=1e-6, name="norm")(x)
-        # (b, h, w, t, c) -> (b*h*w, t, c)
-        y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        # Native-layout fast path: proj_in/out, LN and the GEGLU FF are
+        # row-order agnostic, and the fused attention kernel gathers its
+        # (t, group) windows via a strided BlockSpec — so when every block
+        # routes to the kernel we can stay in (b, t, h*w, *) and skip the
+        # two full-stream (b,h,w,t,c) transposes entirely.
+        native = (not self.causal and (h * w) % 32 == 0
+                  and _fused_temporal_ok(t, inner, inner, self.dtype,
+                                         deterministic)
+                  and not os.environ.get("PANDORA_DISABLE_TNATIVE"))
+        if native:
+            y = y.reshape(b, t, h * w, c)
+        else:
+            # (b, h, w, t, c) -> (b*h*w, t, c)
+            y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
         y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)
         mask = None
         if self.causal:
@@ -414,8 +444,47 @@ class TemporalTransformer(nn.Module):
             )(y, None, deterministic, self_mask=mask)
         y = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
                      name="proj_out")(y)
-        y = y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+        if native:
+            y = y.reshape(b, t, h, w, c)
+        else:
+            y = y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
         return x_in + y
+
+
+class _TConv3(nn.Module):
+    """k=(3,1,1) temporal conv as three shifted t-axis matmuls.
+
+    Param tree is identical to nn.Conv's ({kernel: (3,1,1,cin,cout),
+    bias: (cout,)}), so checkpoints are interchangeable with the Conv3D
+    twin below. Why not Conv3D: XLA:TPU canonicalizes the (3,1,1) window
+    into a 1-D conv over t and materializes (b,h,w,t,c) relayouts of the
+    full activation on both sides — measured ~24 ms/eval of 5-D transpose
+    fusions plus 39% MXU convs at 320x512 on v5e. Three layout-preserving
+    dots over the padded t axis compute the same cross-correlation taps
+    with zero data movement and long-M matmul tiling. Measured alternative
+    on v5e (320x512 eval): single concat-tap dot + shifted output adds =
+    272.7 ms (the 3*cout-wide intermediate costs more HBM than it saves
+    in layout churn); this form = 262.6 ms; Conv3D = 276.9 ms."""
+
+    features: int
+    zero: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero
+            else nn.initializers.lecun_normal(),
+            (3, 1, 1, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = jnp.asarray(kernel, self.dtype)[:, 0, 0]  # (3, cin, cout)
+        t = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        y = (xp[:, :t] @ w[0] + xp[:, 1:t + 1] @ w[1]
+             + xp[:, 2:t + 2] @ w[2])
+        return y + jnp.asarray(bias, y.dtype)
 
 
 class TemporalConvBlock(nn.Module):
@@ -427,19 +496,28 @@ class TemporalConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        import os
         c = x.shape[-1]
+        use_dot = not os.environ.get("PANDORA_DISABLE_TCONV_DOT")
+
+        def conv3(name, zero=False):
+            if use_dot:
+                return _TConv3(features=c, zero=zero, dtype=self.dtype,
+                               name=name)
+            return nn.Conv(
+                c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                kernel_init=nn.initializers.zeros if zero
+                else nn.initializers.lecun_normal(),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name=name)
+
         ident = x
         h = GroupNorm32(name="conv1_norm")(x, silu=True)
-        h = nn.Conv(c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-                    dtype=self.dtype, name="conv1")(h)
+        h = conv3("conv1")(h)
         for i, zero in ((2, False), (3, False), (4, True)):
             h = GroupNorm32(name=f"conv{i}_norm")(h, silu=True)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = nn.Conv(
-                c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-                kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
-                bias_init=nn.initializers.zeros,
-                dtype=self.dtype, name=f"conv{i}")(h)
+            h = conv3(f"conv{i}", zero)(h)
         return ident + h
 
 

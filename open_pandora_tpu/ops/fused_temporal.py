@@ -30,8 +30,16 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _kernel(y_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, g_ref, b_ref,
             o_ref, *, t: int, heads: int, dh: int, sm_scale: float,
-            eps: float):
-    y = y_ref[0]  # (G*t, c)
+            eps: float, tmajor: bool = False):
+    if tmajor:
+        # native-layout variant: block is (1, t, G, c) straight out of the
+        # (B, t, HW, c) residual stream — rows are t-major (row = ti*G + p),
+        # so a temporal sequence is the stride-G comb {p, G+p, 2G+p, ...}
+        blk = y_ref[0]           # (t, G, c)
+        t_, G = blk.shape[0], blk.shape[1]
+        y = blk.reshape(t_ * G, blk.shape[2])
+    else:
+        y = y_ref[0]  # (G*t, c)
     n, c = y.shape
 
     # LayerNorm (fp32 stats)
@@ -51,7 +59,11 @@ def _kernel(y_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, g_ref, b_ref,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    mask = (row // t) == (col // t)
+    if tmajor:
+        g = n // t
+        mask = (row % g) == (col % g)   # same spatial position
+    else:
+        mask = (row // t) == (col // t)
 
     outs = []
     for h in range(heads):
@@ -67,7 +79,8 @@ def _kernel(y_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, g_ref, b_ref,
     attn = jnp.concatenate(outs, axis=1).astype(y.dtype)
     out = jax.lax.dot(attn, wo_ref[...], preferred_element_type=jnp.float32)
     out = out + bo_ref[0].astype(jnp.float32)
-    o_ref[0] = (y.astype(jnp.float32) + out).astype(o_ref.dtype)
+    res = (y.astype(jnp.float32) + out).astype(o_ref.dtype)
+    o_ref[0] = res.reshape(o_ref.shape[1:]) if tmajor else res
 
 
 def fused_temporal_self_attention(
@@ -114,6 +127,52 @@ def fused_temporal_self_attention(
 
     out = out.reshape(-1, t, c)
     return out[:B] if n_pad else out
+
+
+def fused_temporal_self_attention_native(
+    y: jnp.ndarray,          # (B, t, HW, c) residual stream, NATIVE layout
+    wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray,  # (c, inner)
+    wo: jnp.ndarray, bo: jnp.ndarray,                   # (inner, c), (c,)
+    ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,        # (c,)
+    *, heads: int, eps: float = 1e-5, group: int = 32,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Same fused block as fused_temporal_self_attention, but consumes the
+    UNet's native (b, t, h*w, c) activation directly: the grid walks
+    (batch, HW/group) windows via a strided BlockSpec, so the caller never
+    materializes the (b,h,w,t,c) transpose of the full stream (the 5-D
+    relayout fusions that cost ~24 ms/eval at 320x512 on v5e). Rows inside
+    a block are t-major; the block-diagonal mask becomes a stride-`group`
+    comb. Requires HW % group == 0 (true at every shipped UNet level that
+    routes here: 2560/640 @ group=32)."""
+    B, t, HW, c = y.shape
+    inner = wq.shape[1]
+    dh = inner // heads
+    scale = sm_scale if sm_scale is not None else dh ** -0.5
+    G = group
+    if HW % G:
+        raise ValueError(f"HW={HW} not divisible by group={G}")
+
+    const = lambda i, j: (0, 0)
+    const1 = lambda i, j: (0,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, t=t, heads=heads, dh=dh,
+                          sm_scale=float(scale), eps=eps, tmajor=True),
+        grid=(B, HW // G),
+        in_specs=[
+            pl.BlockSpec((1, t, G, c), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((c, inner), const),
+            pl.BlockSpec((c, inner), const),
+            pl.BlockSpec((c, inner), const),
+            pl.BlockSpec((inner, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+        ],
+        out_specs=pl.BlockSpec((1, t, G, c), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+    )(y, wq, wk, wv, wo, bo[None], ln_scale[None], ln_bias[None])
+    return out
 
 
 # The shipped UNet temporal sites (c == inner, heads = c/64): level channels
