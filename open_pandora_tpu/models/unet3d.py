@@ -429,7 +429,16 @@ class TemporalTransformer(nn.Module):
         else:
             # (b, h, w, t, c) -> (b*h*w, t, c)
             y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-        y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)
+        # Apply the use_linear projections on a 2-D flattening of the
+        # stream: a dot_general over the 4-D native layout lowers through
+        # XLA:TPU's convolution emitter (EmitOutputBatchInLanes..., ~4% MXU,
+        # ~2 ms/site at level 0 plus a layout copy back); the reshape is a
+        # free row-major bitcast and the 2-D dot is a plain MXU matmul.
+        def _proj(layer, z):
+            return layer(z.reshape(-1, z.shape[-1])).reshape(
+                *z.shape[:-1], layer.features)
+
+        y = _proj(nn.Dense(inner, dtype=self.dtype, name="proj_in"), y)
         mask = None
         if self.causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -442,8 +451,8 @@ class TemporalTransformer(nn.Module):
                 fused_temporal=not self.causal,
                 name=f"transformer_blocks_{d}",
             )(y, None, deterministic, self_mask=mask)
-        y = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="proj_out")(y)
+        y = _proj(nn.Dense(c, kernel_init=nn.initializers.zeros,
+                           dtype=self.dtype, name="proj_out"), y)
         if native:
             y = y.reshape(b, t, h, w, c)
         else:
