@@ -47,6 +47,53 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _DEFAULT_BLOCK_Q = 256
 _MAX_KV_ROWS = 2560  # single-kv-block budget (scores bq x Mp fp32 in VMEM)
 
+# ---- scoped-VMEM stack model ----------------------------------------------
+#
+# Mosaic allocates the per-head fp32 score temporaries (bq x Mp each) on the
+# 16 MB scoped-VMEM stack and keeps them live across the fully-unrolled
+# head loop, so the stack cost of _kernel is ~ heads * bq * sum(Mp) * 4 B.
+# Real-v5e compile-boundary calibration (tools/preflight.py sweeps,
+# 2026-08-19; entries are (heads, bq, Mp-padded) -> modeled MB):
+#   PASS (5,256,2560)=13.11   FAIL (5,320,2560)=16.38
+#   PASS (10,96,2304)=8.85    FAIL (10,128,2304)=11.80 (r3: (10,256,2304)
+#                                   =23.59 reported 24.90, scoped-vmem OOM)
+#   PASS (20,192,640)=9.83    FAIL (20,256,640)=13.11
+# The compile failure boundary is heads-dependent (more 128-lane head
+# groups -> more non-score overhead), so the budget is a calibrated table
+# of the largest KNOWN-GOOD modeled size per head-count regime, not a
+# constant. tools/preflight.py AOT-compiles the full product shape matrix
+# on the real chip to enforce this empirically before every bench.
+_STACK_BUDGET_WHOLE_N = 8.0 * 2**20  # single-q-block grids pipeline fatter
+
+
+def _stack_budget(heads: int) -> float:
+    return (13.2 if heads <= 8 else 9.9) * 2**20
+
+
+# finer than power-of-two halving: bq=96/192 are real-chip-validated
+# winners inside the budget at the 10/20-head shapes
+_BLOCK_Q_CANDIDATES = (256, 192, 128, 96, 64)
+_MIN_BLOCK_Q = 64
+
+
+def _score_stack_bytes(heads: int, bq: int, mps: Sequence[int]) -> int:
+    return heads * bq * sum(mps) * 4
+
+
+def _choose_block_q(np_: int, heads: int, mps_padded: Sequence[int]):
+    """Largest q block whose modeled score stack fits the calibrated
+    compile budget, or None. Preference order: whole-N (no q grid) for
+    small N, then descending from the measured default 256. None -> the
+    shape must route to the multi-KV-block kernel or the flash path."""
+    if np_ <= 512 and (_score_stack_bytes(heads, np_, mps_padded)
+                       <= min(_STACK_BUDGET_WHOLE_N, _stack_budget(heads))):
+        return np_
+    for bq in _BLOCK_Q_CANDIDATES:
+        cand = min(bq, np_)
+        if _score_stack_bytes(heads, cand, mps_padded) <= _stack_budget(heads):
+            return cand
+    return None
+
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -178,24 +225,51 @@ def _kernel_multi(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                     / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
 
+# real-v5e calibration: (heads=10, bq=256, bk=1024, hd=640) -> modeled
+# 12.4 MB compiles (the same 10-head shape FAILS in the single-block
+# kernel at 11.8 — the multi kernel's per-body scores are bq x bk, so its
+# live set pipelines leaner); (heads=20, bq=128, bk=1024, hd=1280) ->
+# 12.4 MB compiles. Budget = largest known-good modeled size + margin.
+_MULTI_STACK_BUDGET = 12.5 * 2**20
+
+
+def _multi_stack_bytes(heads: int, bq: int, bk: int, hd: int) -> int:
+    # per-head fp32 score temporaries live across the unrolled head loop
+    # + the 3 (bq, hd) fp32 online-softmax scratch slabs
+    return heads * bq * bk * 4 + 3 * bq * hd * 4
+
+
+def _choose_multi_blocks(heads: int, hd: int):
+    """(bq, bk) whose modeled stack fits scoped VMEM, or None."""
+    for bq in _BLOCK_Q_CANDIDATES:
+        bk = _MULTI_BLOCK_K
+        while bk >= 512:
+            if _multi_stack_bytes(heads, bq, bk, hd) <= _MULTI_STACK_BUDGET:
+                return bq, bk
+            bk //= 2
+    return None
+
+
 def _packed_call_multi(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        heads: int, scale: float,
                        block_q: Optional[int]) -> jnp.ndarray:
     b, n, hd = q.shape
     d = hd // heads
-    bq = _DEFAULT_BLOCK_Q if block_q is None else block_q
+    chosen = _choose_multi_blocks(heads, hd)
+    bq, bk = chosen if chosen else (_MIN_BLOCK_Q, 512)
+    if block_q is not None:
+        bq = block_q
     np_ = _ceil_to(n, bq)
-    mp = _ceil_to(k.shape[1], _MULTI_BLOCK_K)
+    mp = _ceil_to(k.shape[1], bk)
     tq = _pad_rows(q, np_)
     tk, tv = _pad_rows(k, mp), _pad_rows(v, mp)
 
     q_spec = pl.BlockSpec((1, bq, hd), lambda b_, i, j: (b_, i, 0))
-    kv_spec = pl.BlockSpec((1, _MULTI_BLOCK_K, hd),
-                           lambda b_, i, j: (b_, j, 0))
+    kv_spec = pl.BlockSpec((1, bk, hd), lambda b_, i, j: (b_, j, 0))
     out = pl.pallas_call(
         functools.partial(_kernel_multi, scale=scale, heads=heads, d=d,
-                          m_real=k.shape[1], bk=_MULTI_BLOCK_K),
-        grid=(b, np_ // bq, mp // _MULTI_BLOCK_K),
+                          m_real=k.shape[1], bk=bk),
+        grid=(b, np_ // bq, mp // bk),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, np_, hd), q.dtype),
@@ -214,25 +288,23 @@ def _packed_call(q: jnp.ndarray,
     b, n, hd = q.shape
     d = hd // heads
     np_ = _ceil_to(n, LANES)
+    mps_padded = [_ceil_to(k.shape[1], LANES) for k, _, _ in streams]
     if block_q is None:
         import os
         env_bq = os.environ.get("PANDORA_PACKED_BLOCKQ")  # sweep override
-        # whole-N only for small q: at bq=640/hd=640 the real-TPU compile
-        # overflows the 16 MB scoped-VMEM stack (21.6 MB — the unrolled
-        # per-head fp32 score temporaries stay live across the head loop);
-        # bq=256 compiles and runs at every product shape (measured
-        # 2026-08-18, profile_unet packed_bq256)
-        bq = (int(env_bq) if env_bq
-              else np_ if np_ <= 512 else _DEFAULT_BLOCK_Q)
-        bq = min(bq, np_)
+        if env_bq:  # bypasses the VMEM model — sweeps only
+            bq = min(int(env_bq), np_)
+        else:
+            bq = _choose_block_q(np_, heads, mps_padded)
+            if bq is None:  # eligibility should have rejected; be safe
+                bq = _MIN_BLOCK_Q
     else:
         bq = min(block_q, np_)
     np_ = _ceil_to(np_, bq)
     tq = _pad_rows(q, np_)
 
     m_reals, gated, ops, in_specs = [], [], [], []
-    for k, v, g in streams:
-        mp = _ceil_to(k.shape[1], LANES)
+    for (k, v, g), mp in zip(streams, mps_padded):
         m_reals.append(k.shape[1])
         gated.append(g)
         ops += [_pad_rows(k, mp), _pad_rows(v, mp)]
@@ -255,13 +327,22 @@ def _packed_call(q: jnp.ndarray,
 _MAX_KV_ROWS_MULTI = 16384
 
 
+def _single_block_fits(n: int, ms: Sequence[int], heads: int) -> bool:
+    mps = [_ceil_to(m, LANES) for m in ms]
+    return (all(mp <= _MAX_KV_ROWS for mp in mps)
+            and _choose_block_q(_ceil_to(n, LANES), heads, mps) is not None)
+
+
 def packed_attention_eligible(n: int, ms: Sequence[int], heads: int,
                               hd: int) -> bool:
-    """Packed-regime gate. Multi-stream (dual) requires every stream's
-    padded KV to fit one VMEM block; single-stream also admits the
-    multi-KV-block online-softmax kernel (hi-res 9216-token self-attn).
-    q must be long enough that a kernel beats XLA's fused small-attn, and
-    the head dim must pack into 128-lane groups."""
+    """Packed-regime gate, VMEM-aware (round-4 fix for the BENCH_r03
+    scoped-VMEM OOM). Multi-stream (dual) requires every stream's padded KV
+    to fit one VMEM block AND a q block whose modeled score stack fits the
+    16 MB scoped-VMEM limit; single-stream also admits the multi-KV-block
+    online-softmax kernel (hi-res 9216-token self-attn, and any shape whose
+    single-block score stack would overflow — e.g. hi-res level-1
+    N=M=2304 @ 10 heads). q must be long enough that a kernel beats XLA's
+    fused small-attn, and the head dim must pack into 128-lane groups."""
     import os
     if os.environ.get("PANDORA_DISABLE_PACKED"):
         return False
@@ -270,15 +351,22 @@ def packed_attention_eligible(n: int, ms: Sequence[int], heads: int,
     d = hd // heads
     if not (d <= 128 and LANES % d == 0 and n >= 512):
         return False
-    cap = _MAX_KV_ROWS_MULTI if len(ms) == 1 else _MAX_KV_ROWS
-    return all(_ceil_to(m, LANES) <= cap for m in ms)
+    if _single_block_fits(n, ms, heads):
+        return True
+    # single-stream shapes can fall through to the multi-KV-block kernel
+    return (len(ms) == 1
+            and _ceil_to(ms[0], LANES) <= _MAX_KV_ROWS_MULTI
+            and _choose_multi_blocks(heads, hd) is not None)
 
 
 # ---- self-attention -------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _self_packed(q, k, v, heads, scale, block_q):
-    if _ceil_to(k.shape[1], LANES) > _MAX_KV_ROWS:
+    import os
+    force_multi = bool(os.environ.get("PANDORA_PACKED_FORCE_MULTI"))  # A/B
+    if force_multi or not _single_block_fits(q.shape[1], (k.shape[1],),
+                                             heads):
         return _packed_call_multi(q, k, v, heads, scale, block_q)
     one = jnp.ones((), jnp.float32)
     return _packed_call(q, [(k, v, False)], one, heads, scale, block_q)

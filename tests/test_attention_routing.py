@@ -16,17 +16,64 @@ from open_pandora_tpu.ops.packed_attention import packed_attention_eligible
 PROD_L0 = dict(n=2560, m=77, mi=16, heads=5, hd=320, d=64)   # 320x512 level-0
 PROD_HI = dict(n=9216, m=77, mi=16, heads=5, hd=320, d=64)   # 576x1024 level-0
 
+# FULL product shape census: every attention level of the UNet at BOTH
+# product resolutions with its TRUE head count (openaimodel3d.py:552-607;
+# model_channels 320, mult [1,2,4,4], d_head 64 -> hd=ch, heads=ch/64).
+# 320x512 -> latent 40x64; 576x1024 -> latent 72x128. Attention at
+# ds=1,2,4: tokens = (h/8/ds)*(w/8/ds). The round-3 bench OOMed at the
+# hi-res level-1 (2304, 640, 10) shape because the matrix below previously
+# pinned non-product head counts — keep this table exhaustive.
+PRODUCT_LEVELS = [
+    # (n_tokens, hd, heads)
+    (2560, 320, 5),    # 320x512  level-0
+    (640, 640, 10),    # 320x512  level-1
+    (160, 1280, 20),   # 320x512  level-2 (n<512 -> XLA path, by design)
+    (9216, 320, 5),    # 576x1024 level-0 (multi-KV-block regime)
+    (2304, 640, 10),   # 576x1024 level-1 (the BENCH_r03 OOM shape)
+    (576, 1280, 20),   # 576x1024 level-2
+]
+
 
 def test_packed_covers_all_product_spatial_sites():
-    # self-attn + text-cross + dual streams at every 320x512/576x1024 level
-    for n in (2560, 9216, 640, 2304, 576):
-        assert packed_attention_eligible(n, (n,), 5, 320) or n < 512
-        assert packed_attention_eligible(n, (77,), 5, 320) or n < 512
-        if n <= 2560:
-            assert packed_attention_eligible(n, (77, 16), 5, 320) or n < 512
-    # level-1/2 head counts
-    assert packed_attention_eligible(640, (640,), 10, 640)
-    assert packed_attention_eligible(576, (576,), 20, 1280)
+    # self-attn + text-cross + dual streams at every level of BOTH product
+    # resolutions, with the TRUE per-level head counts
+    for n, hd, heads in PRODUCT_LEVELS:
+        assert packed_attention_eligible(n, (n,), heads, hd) or n < 512, \
+            f"self-attn not eligible at {(n, hd, heads)}"
+        assert packed_attention_eligible(n, (77,), heads, hd) or n < 512, \
+            f"text cross-attn not eligible at {(n, hd, heads)}"
+        assert packed_attention_eligible(n, (77, 16), heads, hd) or n < 512, \
+            f"dual cross-attn not eligible at {(n, hd, heads)}"
+
+
+def test_vmem_model_bounds_every_product_shape():
+    """The modeled scoped-VMEM score stack of the block the chooser picks
+    must fit the budget at EVERY product (N, hd, heads) — the exact
+    invariant whose absence caused the round-3 bench crash."""
+    from open_pandora_tpu.ops import packed_attention as pa
+
+    for n, hd, heads in PRODUCT_LEVELS:
+        if n < 512:
+            continue
+        np_ = pa._ceil_to(n, pa.LANES)
+        for ms in [(n,), (77,), (77, 16)]:
+            mps = [pa._ceil_to(m, pa.LANES) for m in ms]
+            bq = pa._choose_block_q(np_, heads, mps)
+            if bq is None:
+                # must be routable to the multi-KV-block kernel instead
+                assert len(ms) == 1
+                assert pa._choose_multi_blocks(heads, hd) is not None
+                continue
+            budget = (min(pa._STACK_BUDGET_WHOLE_N, pa._stack_budget(heads))
+                      if bq == np_ <= 512 else pa._stack_budget(heads))
+            assert pa._score_stack_bytes(heads, bq, mps) <= budget
+    # regression pins at the real-chip calibration points (preflight sweep
+    # 2026-08-19): low-res level-0 keeps the measured-fastest bq=256...
+    assert pa._choose_block_q(2560, 5, [2560]) == 256
+    # ...the round-3 OOM shape lands on the largest compiling block (96)...
+    assert pa._choose_block_q(2304, 10, [2304]) == 96
+    # ...and hi-res level-2 on 192 (256 crashes the real-chip compiler)
+    assert pa._choose_block_q(640, 20, [640]) == 192
 
 
 def test_dual_headsplit_fallback_matches_packed_domain():

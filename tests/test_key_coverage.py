@@ -28,6 +28,15 @@ Buffer registry spec: ``lvdm/models/ddpm3d.py:141-166`` (register_schedule)
 + ``:503-510`` (scale_factor / scale_arr); tower placement spec: ChatUniVi
 ``arch.py`` (``model.vision_tower.vision_tower``); connector spec:
 ``model.py:567-582``.
+
+Caveat (r3 advice): the HF-side surface here is synthesized with the
+*installed* transformers (4.57.x). Checkpoints serialized under older
+transformers can carry version-dependent persistent buffers this proof
+cannot see (e.g. CLIP ``embeddings.position_ids``, LLaMA rotary
+``inv_freq`` — both persistent until ~4.31, non-persistent since). The
+converter's ``normalize_state_dict`` must drop such buffer keys;
+``test_real_shard_index_coverage`` below closes the gap against the REAL
+released shard index whenever the checkpoint asset is present.
 """
 
 import numpy as np
@@ -218,6 +227,10 @@ def build_released_surface(cfg: PandoraConfig) -> dict:
 
 
 class _TrackingDict(dict):
+    """Records every key the converter READS through any access path —
+    __getitem__, .get, .pop, or full iteration via .items() — so the
+    coverage signal stays accurate as convert.py evolves (r3 advice)."""
+
     def __init__(self, base):
         super().__init__(base)
         self.read = set()
@@ -225,6 +238,20 @@ class _TrackingDict(dict):
     def __getitem__(self, k):
         self.read.add(k)
         return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self.read.add(k)
+        return super().get(k, default)
+
+    def pop(self, k, *default):
+        if super().__contains__(k):
+            self.read.add(k)
+        return super().pop(k, *default)
+
+    def items(self):
+        self.read.update(super().keys())
+        return super().items()
 
 
 def _expected_unread(cfg: PandoraConfig) -> set:
@@ -275,6 +302,42 @@ def _expected_unread(cfg: PandoraConfig) -> set:
     for k in ["ln_post.weight", "ln_post.bias", "proj"]:
         skip.add(f"{vp}.{k}")
     return skip
+
+
+def test_real_shard_index_coverage():
+    """When the released checkpoint asset is present (PANDORA_CKPT_DIR or
+    a conventional local path), prove the synthetic surface == the REAL
+    shard-index key list modulo keys normalize_state_dict drops — closing
+    the transformers-version caveat documented above. Skips (and stays on
+    the scoreboard as environmentally blocked) when no asset exists."""
+    import json
+    import os
+
+    cands = [os.environ.get("PANDORA_CKPT_DIR", ""),
+             "/root/ckpt/Open-Pandora", "/root/checkpoints/Open-Pandora"]
+    index = None
+    for d in cands:
+        p = os.path.join(d, "model.safetensors.index.json") if d else ""
+        if p and os.path.exists(p):
+            with open(p) as f:
+                index = json.load(f)
+            break
+    if index is None:
+        pytest.skip("released checkpoint asset not present")
+
+    real = set(index["weight_map"])
+    # name-level normalization only: version-dependent persistent buffers
+    normalized = set(C.normalize_state_dict(
+        {k: np.zeros((1,), np.float32) for k in real}).keys())
+    cfg = tiny_config()
+    torch.manual_seed(0)
+    synth = set(build_released_surface(cfg))
+    assert normalized - synth == set(), (
+        f"real checkpoint carries keys the proof never saw: "
+        f"{sorted(normalized - synth)[:20]}")
+    assert synth - normalized == set(), (
+        f"proof expects keys the real checkpoint lacks: "
+        f"{sorted(synth - normalized)[:20]}")
 
 
 def test_world_model_key_coverage(monkeypatch):
