@@ -52,28 +52,21 @@ def build_parser():
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def setup_model(ckpt=None, tokenizer=None, debug: bool = False):
+    """Build (wm, params, tok, height, width) — shared by every ChatUniVi
+    eval runner (this file, scienceqa.py, consistency.py). In --debug mode
+    a tiny random-weight config is used so runners smoke-test on CPU."""
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
     import dataclasses
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from PIL import Image
 
-    from open_pandora_tpu.models.llama_generate import greedy_generate
-    from open_pandora_tpu.models.world_model import (ImageSegment,
-                                                     MultimodalPrompt,
-                                                     TokenSegment,
-                                                     VideoSegment, WorldModel)
-    from open_pandora_tpu.pipeline.preprocess import clip_tower_preprocess
+    from open_pandora_tpu.models.world_model import WorldModel
     from open_pandora_tpu.pipeline.tokenizers import load_tokenizer
-    from open_pandora_tpu.utils.video_io import read_video_frames
 
-    if args.debug:
+    if debug:
         from tests.test_llm_stack import TINY_LLAMA, TINY_QF, TINY_CONN
         from tests.test_dynamicrafter import TINY as TINY_DC, H, W
         from open_pandora_tpu.core.config import CLIPTowerConfig, ClusterConfig
@@ -84,22 +77,103 @@ def main(argv=None):
             cluster=ClusterConfig(spatial_rates=(2, 1, 1), temporal_rate=0.5),
             qformer=TINY_QF, connector=TINY_CONN)
         height, width = H, W
-        args.max_new_tokens = min(args.max_new_tokens, 4)
     else:
         from open_pandora_tpu.core.config import PandoraConfig
         cfg = PandoraConfig()
         height, width = 320, 512
 
     wm = WorldModel(cfg)
-    if args.ckpt:
+    if ckpt:
         from open_pandora_tpu.core.checkpoint import load_params
-        params = load_params(args.ckpt, wm, height=height, width=width)
+        params = load_params(ckpt, wm, height=height, width=width)
     else:
         print("[qa] NO CHECKPOINT — random weights (smoke mode)", flush=True)
         params = wm.init_params(jax.random.PRNGKey(0), height=height,
                                 width=width)
-    tok = load_tokenizer(args.tokenizer)
-    tower_size = cfg.clip_tower.image_size
+    tok = load_tokenizer(tokenizer)
+    return wm, params, tok, height, width
+
+
+def decode_ids(tok, out_ids) -> str:
+    """Decode a (n,) id row from greedy_generate, skipping specials."""
+    import numpy as np
+    ids_list = [int(i) for i in np.asarray(out_ids)]
+    if hasattr(tok, "tok"):
+        return tok.tok.decode(ids_list, skip_special_tokens=True)
+    return " ".join(str(i) for i in ids_list)
+
+
+def segments_from_prompt(tok, prompt: str, n_images: int = 0):
+    """Split a rendered conversation prompt on the '<image>' sentinel into
+    Token/Image/Video segments (mm_utils.tokenizer_image_token semantics:
+    ChatUniVi/mm_utils.py — text chunks tokenized separately, one media
+    slot per sentinel). A run of n_images>1 sentinels becomes one
+    VideoSegment over images[0..n_images); a single sentinel an
+    ImageSegment."""
+    import jax.numpy as jnp
+
+    from open_pandora_tpu.models.world_model import (ImageSegment,
+                                                     TokenSegment,
+                                                     VideoSegment)
+    parts = prompt.split("<image>")
+    # collapse a run of consecutive sentinels ('' between parts) into one slot
+    segs, used = [], 0
+    first = tok.encode(parts[0], add_bos=True)
+    segs.append(TokenSegment(jnp.asarray([first], jnp.int32)))
+    pending = 0
+    for piece in parts[1:]:
+        pending += 1
+        if piece == "" :
+            continue
+        if pending == 1:
+            segs.append(ImageSegment(used))
+        else:
+            segs.append(VideoSegment(tuple(range(used, used + pending))))
+        used += pending
+        pending = 0
+        ids = tok.encode(piece, add_bos=False)
+        if ids:
+            segs.append(TokenSegment(jnp.asarray([ids], jnp.int32)))
+    if pending:
+        if pending == 1:
+            segs.append(ImageSegment(used))
+        else:
+            segs.append(VideoSegment(tuple(range(used, used + pending))))
+        used += pending
+    assert used == n_images, f"prompt has {used} media slots, got {n_images}"
+    return segs
+
+
+def strip_stop(text: str, stop_str: str) -> str:
+    """model_video_qa.py tail handling: cut at the separator, strip."""
+    if stop_str and stop_str in text:
+        text = text.split(stop_str)[0]
+    text = text.strip()
+    if stop_str and text.endswith(stop_str):
+        text = text[: -len(stop_str)]
+    return text.strip()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from open_pandora_tpu.models.llama_generate import greedy_generate
+    from open_pandora_tpu.models.world_model import (ImageSegment,
+                                                     MultimodalPrompt,
+                                                     TokenSegment,
+                                                     VideoSegment)
+    from open_pandora_tpu.pipeline.preprocess import clip_tower_preprocess
+    from open_pandora_tpu.utils.video_io import read_video_frames
+
+    if args.debug:
+        args.max_new_tokens = min(args.max_new_tokens, 4)
+    wm, params, tok, height, width = setup_model(args.ckpt, args.tokenizer,
+                                                 args.debug)
+    tower_size = wm.cfg.clip_tower.image_size
 
     questions = get_chunk(load_questions(args.questions), args.num_chunks,
                           args.chunk_idx)

@@ -115,6 +115,19 @@ def prefill_cache(model: LlamaForCausalLM, params, inputs_embeds,
     return x[:, -1], cache
 
 
+def first_token_logits(model: LlamaForCausalLM, params,
+                       inputs_embeds: jnp.ndarray) -> jnp.ndarray:
+    """(b, vocab) logits for the token that would follow the prompt.
+
+    The reference's scienceqa runner generates with output_scores=True and
+    reads scores[0][0] — the pre-softmax logits of the FIRST generated
+    token — to score the candidate answer letters
+    (ChatUniVi/eval/model_vqa_scienceqa.py:101-125)."""
+    last_hidden, _ = prefill_cache(model, params, inputs_embeds,
+                                   inputs_embeds.shape[1])
+    return _dense(last_hidden, _p(params, "lm_head"))
+
+
 def greedy_generate(
     model: LlamaForCausalLM,
     params,

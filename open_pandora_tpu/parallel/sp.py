@@ -19,6 +19,7 @@ bidirectional)."""
 from __future__ import annotations
 
 import functools
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -31,13 +32,21 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def _attn_with_lse(q, k, v, sm_scale: Optional[float] = None):
+_MASKED = -1e30  # finite big-negative: a fully-masked block yields a
+# finite lse ~ _MASKED whose merge weight underflows to exactly 0 — no
+# -inf/-inf NaNs in the online-softmax algebra.
+
+
+def _attn_with_lse(q, k, v, sm_scale: Optional[float] = None, mask=None):
     """(B, N, H, D) x (B, M, H, D) -> (out (B,N,H,D), lse (B,N,H)).
-    fp32 softmax statistics (matches ops.attention_xla)."""
+    fp32 softmax statistics (matches ops.attention_xla). `mask` is an
+    optional (N, M) bool (True = attend) broadcast over batch/heads."""
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else d ** -0.5
     s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask[None, None], s, _MASKED)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -63,26 +72,47 @@ def ring_attention(
     mesh,
     axis: str = "data",
     sm_scale: Optional[float] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Self-attention with the SEQUENCE axis sharded over `axis` of `mesh`.
 
     q/k/v: (B, N, H, D) global arrays (N divisible by the axis size).
     Returns the exact (up to fp reassociation) full-attention result with
     per-device memory O(N/n) — each ring step attends the local q shard to
-    a rotating KV shard and merges via log-sum-exp."""
+    a rotating KV shard and merges via log-sum-exp.
+
+    causal=True applies the global-index causal mask (LLM prefill): each
+    ring step reconstructs the KV shard's global offset from the rotation
+    count and masks q_global >= k_global. Blocks strictly above the
+    diagonal still circulate (simple ring; a zigzag schedule would skip
+    them) but contribute zero weight via the finite `_MASKED` fill."""
     n_dev = mesh.shape[axis]
     assert q.shape[1] % n_dev == 0, (
         f"sequence {q.shape[1]} not divisible by mesh axis {axis}={n_dev}")
+    n_local = q.shape[1] // n_dev
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
     def local_fn(q_l, k_l, v_l):
-        o, lse = _attn_with_lse(q_l, k_l, v_l, sm_scale)
+        me = jax.lax.axis_index(axis)
+        iota_q = jnp.arange(n_local)
 
-        def body(_, carry):
+        def blk_mask(step):
+            # after `step` rotations this device holds the KV shard that
+            # started on device (me - step) mod n_dev
+            src = (me - step) % n_dev
+            qg = me * n_local + iota_q[:, None]
+            kg = src * n_local + iota_q[None, :]
+            return qg >= kg
+
+        o, lse = _attn_with_lse(q_l, k_l, v_l, sm_scale,
+                                blk_mask(0) if causal else None)
+
+        def body(i, carry):
             k_c, v_c, o_a, l_a = carry
             k_c = jax.lax.ppermute(k_c, axis, perm)
             v_c = jax.lax.ppermute(v_c, axis, perm)
-            o_i, l_i = _attn_with_lse(q_l, k_c, v_c, sm_scale)
+            o_i, l_i = _attn_with_lse(q_l, k_c, v_c, sm_scale,
+                                      blk_mask(i + 1) if causal else None)
             o_m, l_m = _merge(o_a, l_a, o_i, l_i)
             return k_c, v_c, o_m, l_m
 
