@@ -98,10 +98,12 @@ def load_params(path: str, wm, *, height: int = 320, width: int = 512):
             pass
     flat = load_torch_flat(path)
     params = convert_world_model(flat, wm.cfg)
-    if getattr(wm, "quantize_llm", False):
+    qmode = getattr(wm, "quantize_llm", False)
+    if qmode:
         from open_pandora_tpu.models.quant import quantize_llama_params
 
-        params["llama"] = quantize_llama_params(params["llama"])
+        params["llama"] = quantize_llama_params(
+            params["llama"], mode=qmode if isinstance(qmode, str) else "int8")
     dtype = getattr(wm, "dtype", None)
 
     def put(x):

@@ -39,7 +39,8 @@ def build_parser():
     p.add_argument("--end-id", type=int, default=int(1e9))
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
-    p.add_argument("--quantize-llm", action="store_true")
+    p.add_argument("--quantize-llm", nargs="?", const="int8",
+                   choices=["int8", "nf4"], default=False)
     p.add_argument("--debug", action="store_true")
     return p
 

@@ -78,6 +78,38 @@ class Int8Dense(nn.Module):
         return x @ w
 
 
+class Int4Dense(nn.Module):
+    """Weight-only NF4 projection (the bitsandbytes load_in_4bit analog,
+    ChatUniVi/model/builder.py:36-47; models/quant.py quantize_kernel_nf4).
+    Params: kernel_p (in/2, out) uint8 — two 4-bit codebook indices per
+    byte — + absmax (in/64, out) fp32 blockwise scales; the nibble unpack
+    + codebook gather + rescale is fused by XLA into the matmul read."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from open_pandora_tpu.models.quant import (NF4_BLOCK,
+                                                   dequantize_kernel_nf4)
+        n_in = x.shape[-1]
+        kp = self.param("kernel_p", nn.initializers.zeros,
+                        (n_in // 2, self.features), jnp.uint8)
+        absmax = self.param("absmax", nn.initializers.ones,
+                            (-(-n_in // NF4_BLOCK), self.features),
+                            jnp.float32)
+        return x @ dequantize_kernel_nf4(kp, absmax, dtype=self.dtype)
+
+
+def _base_dense(features, quantized, dtype, name):
+    """quantized: False | True/'int8' | 'nf4'."""
+    if quantized == "nf4":
+        return Int4Dense(features, dtype=dtype, name=name)
+    if quantized:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
+
+
 class LoRADense(nn.Module):
     """Frozen base projection + low-rank adapter: y = xW + (xA)B * α/r
     (PEFT semantics: A kaiming-init, B zero-init so the delta starts at 0;
@@ -90,14 +122,12 @@ class LoRADense(nn.Module):
     rank: int
     alpha: float = 16.0
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, x):
-        base = (Int8Dense(self.features, dtype=self.dtype, name="base")
-                if self.quantized else
-                nn.Dense(self.features, use_bias=False, dtype=self.dtype,
-                         name="base"))
+        base = _base_dense(self.features, self.quantized, self.dtype,
+                           "base")
         a = self.param("lora_a", nn.initializers.he_uniform(),
                        (x.shape[-1], self.rank))
         b = self.param("lora_b", nn.initializers.zeros,
@@ -112,15 +142,13 @@ def _proj(features, quantized, dtype, name, lora: tuple = (0, 16.0)):
     if rank:
         return LoRADense(features, rank=rank, alpha=alpha, dtype=dtype,
                          quantized=quantized, name=name)
-    if quantized:
-        return Int8Dense(features, dtype=dtype, name=name)
-    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
+    return _base_dense(features, quantized, dtype, name)
 
 
 class LlamaAttention(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, x, positions, mask=None):
@@ -144,7 +172,7 @@ class LlamaAttention(nn.Module):
 class LlamaMLP(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, x):
@@ -161,7 +189,7 @@ class LlamaMLP(nn.Module):
 class LlamaLayer(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, x, positions, mask=None):
@@ -181,7 +209,7 @@ class LlamaTrunk(nn.Module):
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
     remat: bool = False
-    quantized: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray,
@@ -209,7 +237,7 @@ class LlamaForCausalLM(nn.Module):
 
     cfg: LLaMAConfig
     dtype: Any = jnp.float32
-    quantized: bool = False
+    quantized: Any = False
 
     def setup(self):
         self.embed_tokens = nn.Embed(self.cfg.total_vocab, self.cfg.hidden_size,

@@ -36,6 +36,10 @@ def _dense(x, leaf):
     if "kernel_q" in leaf:  # int8 weight-only layout (models/quant.py)
         w = (leaf["kernel_q"].astype(jnp.float32) * leaf["scale"]).astype(x.dtype)
         return x @ w
+    if "kernel_p" in leaf:  # nf4 weight-only layout (models/quant.py)
+        from open_pandora_tpu.models.quant import dequantize_kernel_nf4
+        return x @ dequantize_kernel_nf4(leaf["kernel_p"], leaf["absmax"],
+                                         dtype=x.dtype)
     return x @ leaf["kernel"]
 
 

@@ -116,9 +116,12 @@ class WorldModel:
      'connector'}."""
 
     def __init__(self, cfg: PandoraConfig, dtype=jnp.float32,
-                 quantize_llm: bool = False):
-        """quantize_llm: weight-only int8 LLaMA (models/quant.py) — fits the
-        full composite on one 16 GB chip (bf16 needs ~19 GB)."""
+                 quantize_llm=False):
+        """quantize_llm: weight-only LLaMA quantization (models/quant.py) —
+        True/'int8' (per-channel int8, ~12.3 GB composite) or 'nf4'
+        (blockwise 4-bit, the bitsandbytes load_in_4bit analog,
+        ChatUniVi/model/builder.py:36-47). bf16 needs ~19 GB; int8 fits
+        one 16 GB chip."""
         self.cfg = cfg
         self.dtype = dtype
         self.quantize_llm = quantize_llm

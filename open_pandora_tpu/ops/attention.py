@@ -54,7 +54,17 @@ def attention(
 
     backend: 'auto' | 'flash' | 'small' | 'xla'. Arbitrary masks force the
     XLA path (the Pallas kernels support causal + kv-length masking only).
+
+    Under an active `parallel.sp.sequence_parallel(mesh, axis)` context,
+    eligible causal self-attention (LLaMA prefill) is ring-sharded over
+    the mesh axis instead (sequence-parallel long-context path).
     """
+    from open_pandora_tpu.parallel.sp import (current_sp, ring_attention,
+                                              sp_eligible)
+    if sp_eligible(q.shape, k.shape, causal, mask):
+        mesh, axis = current_sp()
+        return ring_attention(q, k, v, mesh=mesh, axis=axis,
+                              sm_scale=sm_scale, causal=True)
     if backend == "auto":
         if (_on_tpu() and mask is None
                 and q.shape[1] >= _FLASH_MIN_Q

@@ -123,3 +123,59 @@ def ring_attention(
     spec = P(None, axis, None, None)
     return shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec)(q, k, v)
+
+
+# ------------------------------------------------------------- wiring
+# Trace-time SP context: while active, ops.attention routes eligible
+# causal self-attention (LLaMA prefill) through ring_attention over the
+# given mesh axis. The UNet side is deliberately NOT wired: a conv UNet
+# would need halo exchange around every conv to sequence-shard
+# activations, and the zero-comm stream/frame sharding
+# (parallel/sharded_infer.py) dominates at every product shape — see
+# PERF.md. The LLM side is where sequence actually grows (multi-round
+# <image>x16 histories, reference model.py:1055).
+
+_SP_STACK: list = []
+
+
+@contextmanager
+def sequence_parallel(mesh, axis: str = "data"):
+    """Route causal prefill attention through the ring while tracing."""
+    _SP_STACK.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SP_STACK.pop()
+
+
+def current_sp() -> Optional[tuple]:
+    return _SP_STACK[-1] if _SP_STACK else None
+
+
+def sp_eligible(q_shape, k_shape, causal: bool, mask) -> bool:
+    """Ring-route only clean causal self-attention whose sequence divides
+    the mesh axis (prefill; decode steps have N=1 and never qualify)."""
+    ctx = current_sp()
+    if ctx is None or not causal or mask is not None:
+        return False
+    mesh, axis = ctx
+    n_dev = mesh.shape[axis]
+    return (q_shape[1] == k_shape[1] and q_shape[1] % n_dev == 0
+            and q_shape[1] // n_dev >= 8)
+
+
+def sp_llama_prefill(model, params, inputs_embeds, *, mesh,
+                     axis: str = "data"):
+    """LLaMA trunk forward with every layer's causal self-attention ring-
+    sharded over `axis` (sequence-parallel long-context prefill). Returns
+    (b, n, hidden) final hidden states; numerics match the single-device
+    trunk up to fp reassociation."""
+    import jax as _jax
+
+    def fwd(p, e):
+        with sequence_parallel(mesh, axis):
+            return model.apply(p, e, method=type(model).trunk)
+
+    emb_spec = _jax.sharding.NamedSharding(mesh, P(None, axis, None))
+    return _jax.jit(fwd, in_shardings=(None, emb_spec))(params,
+                                                        inputs_embeds)

@@ -36,9 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--bf16", action="store_true", default=True)
-    p.add_argument("--quantize-llm", action="store_true",
-                   help="int8 weight-only LLaMA (fits the full model on one "
-                        "16GB chip)")
+    p.add_argument("--quantize-llm", nargs="?", const="int8",
+                   choices=["int8", "nf4"], default=False,
+                   help="weight-only LLaMA quantization (default int8; "
+                        "nf4 = blockwise 4-bit). int8 fits the full model "
+                        "on one 16GB chip")
     p.add_argument("--debug", action="store_true",
                    help="tiny config + random weights smoke mode")
     return p

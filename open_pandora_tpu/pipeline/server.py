@@ -152,7 +152,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=10041)  # gradio_app.py:214
     p.add_argument("--ckpt", default=None)
     p.add_argument("--tokenizer", default=None)
-    p.add_argument("--quantize-llm", action="store_true")
+    p.add_argument("--quantize-llm", nargs="?", const="int8",
+                   choices=["int8", "nf4"], default=False)
     p.add_argument("--debug", action="store_true",
                    help="tiny random-weight config (smoke mode)")
     args = p.parse_args(argv)
