@@ -1,0 +1,127 @@
+"""Pallas direct 3x3 NHWC convolution (same padding, stride 1).
+
+Why: the UNet eval is conv-bound after round 3 (~115 of 261 ms at
+320x512; PERF.md) and XLA:TPU's convolution emitter runs the product's
+3x3 ResBlock convs at ~50-65% MXU. This kernel reformulates the conv as
+nine accumulated MXU matmuls over in-VMEM shifted views of the padded
+input slab — the whole (H+2, W+2, C) image fits VMEM at every product
+level, so the input is read from HBM exactly once and the only MXU
+inefficiency left is lane padding when C is not a multiple of 128
+(320 -> 83%; 640/1280 are exact).
+
+Reference scope: the ResBlock in/out convs of openaimodel3d.py:112-240
+(spatial 3x3, stride 1, same padding). Stride-2 Downsample and the 1x1
+skip projections stay on XLA (1x1 lowers to a plain matmul already).
+
+Shapes are routed through `conv3x3_eligible` + a VMEM model with a
+real-chip-calibrated budget (the round-3 lesson: model the scoped-VMEM
+stack, never assume "lowers clean" means "compiles").
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# calibrated on v5e (2026-08-19): see PERF.md round-4 conv section.
+_STACK_BUDGET = 12.0 * 2**20
+_LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _stack_bytes(h: int, w: int, c: int, co_blk: int, hs: int) -> int:
+    """Modeled VMEM stack for one program: input slab + double-buffered
+    shifted-slice temp + fp32 accumulator + weights + output block."""
+    x_slab = (h + 2) * (w + 2) * c * 2
+    slice_tmp = 2 * hs * w * c * 2          # x2: pipelining headroom
+    acc = hs * w * co_blk * 4
+    wgt = 9 * c * co_blk * 2
+    out = h * w * co_blk * 2
+    return x_slab + slice_tmp + acc + wgt + out
+
+
+def _choose_blocks(h: int, w: int, c: int, co: int):
+    """(co_blk, n_strips) fitting the budget, or None. co blocks are
+    lane-exact divisors of co (multiples of 128) — or co itself, whose
+    final partial lane-tile the MXU pads anyway; anything else re-pads
+    every dot's N dimension."""
+    co_cands = sorted(
+        {d for d in range(_LANES, co + 1, _LANES) if co % d == 0} | {co},
+        reverse=True)
+    for co_blk in co_cands:
+        for n_strips in (1, 2, 4, 8):
+            if h % n_strips:
+                continue
+            if _stack_bytes(h, w, c, co_blk, h // n_strips) <= _STACK_BUDGET:
+                return co_blk, n_strips
+    return None
+
+
+def conv3x3_eligible(h: int, w: int, c: int, co: int) -> bool:
+    if os.environ.get("PANDORA_DISABLE_PCONV"):
+        return False
+    if c % 8 or co % 8:
+        return False
+    # tiny spatial levels: M = h*w too small to beat XLA's fused path
+    if h * w < 512:
+        return False
+    return _choose_blocks(h, w, c, co) is not None
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, H, W, co_blk, n_strips, out_dtype):
+    hs = H // n_strips
+    for s in range(n_strips):
+        acc = jnp.zeros((hs * W, co_blk), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                xs = x_ref[0, s * hs + ky: s * hs + ky + hs,
+                           kx: kx + W, :].reshape(hs * W, -1)
+                acc = acc + jax.lax.dot(
+                    xs, w_ref[ky, kx],
+                    preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0].astype(jnp.float32)
+        o_ref[0, s * hs:(s + 1) * hs] = acc.reshape(
+            hs, W, co_blk).astype(out_dtype)
+
+
+def conv3x3_nhwc(x: jnp.ndarray, w: jnp.ndarray,
+                 b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x (B, H, W, C) x w (3, 3, C, Co) [+ bias (Co,)] -> (B, H, W, Co),
+    stride 1, same padding, fp32 accumulation, output in x.dtype."""
+    B, H, W, C = x.shape
+    assert w.shape[:3] == (3, 3, C), w.shape
+    Co = w.shape[-1]
+    chosen = _choose_blocks(H, W, C, Co)
+    assert chosen is not None, (
+        f"conv3x3_nhwc: no block fits VMEM for {(H, W, C, Co)}; "
+        "route via conv3x3_eligible")
+    co_blk, n_strips = chosen
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wb = w.astype(x.dtype)
+    bias = (b if b is not None else jnp.zeros((Co,), jnp.float32))
+    bias2d = bias.reshape(1, Co).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, H=H, W=W, co_blk=co_blk, n_strips=n_strips,
+        out_dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, Co // co_blk),
+        in_specs=[
+            pl.BlockSpec((1, H + 2, W + 2, C), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, C, co_blk), lambda i, j: (0, 0, 0, j)),
+            pl.BlockSpec((1, co_blk), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, co_blk), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
+    )(xp, wb, bias2d)

@@ -1,0 +1,97 @@
+"""Pallas direct 3x3 conv vs lax.conv_general_dilated (XLA reference)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import open_pandora_tpu.ops.conv2d as c2
+
+
+@pytest.fixture
+def _interpret_pallas(monkeypatch):
+    orig = c2.pl.pallas_call
+    monkeypatch.setattr(c2.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+
+def _xla_conv(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+@pytest.mark.parametrize("shape", [
+    # (B, H, W, C, Co): product-level analogs scaled to test size
+    (2, 8, 16, 32, 32),     # single strip, co_blk = co
+    (1, 8, 16, 32, 64),
+    (2, 16, 8, 64, 32),
+])
+def test_conv3x3_matches_xla(_interpret_pallas, shape):
+    B, H, W, C, Co = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (Co,), jnp.float32)
+    out = c2.conv3x3_nhwc(x, w, b)
+    ref = _xla_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_strips(_interpret_pallas, monkeypatch):
+    """Force multi-strip execution (the hi-res VMEM regime) and check
+    edge rows across strip boundaries."""
+    monkeypatch.setattr(c2, "_STACK_BUDGET", 24 * 2**10)
+    B, H, W, C, Co = 1, 16, 8, 16, 16
+    blk = c2._choose_blocks(H, W, C, Co)
+    assert blk is not None and blk[1] > 1, blk
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    out = c2.conv3x3_nhwc(x, w)
+    ref = _xla_conv(x, w, jnp.zeros((Co,)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_bf16(_interpret_pallas):
+    B, H, W, C, Co = 1, 8, 16, 32, 32
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.bfloat16)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    out = c2.conv3x3_nhwc(x, w)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_conv(x, w, jnp.zeros((Co,)))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=0.15, rtol=0.1)
+
+
+def test_eligibility_and_blocks():
+    # product shapes at 320x512 (B*T folded out of the model):
+    # L0 self 40x64 c320->320 must fit; L1 20x32 c640->640 must fit
+    assert c2.conv3x3_eligible(40, 64, 320, 320)
+    assert c2.conv3x3_eligible(20, 32, 640, 640)
+    # decoder concat conv at L0 (c = 640 -> 320)
+    assert c2.conv3x3_eligible(40, 64, 640, 320)
+    # tiny levels route to XLA
+    assert not c2.conv3x3_eligible(10, 16, 1280, 1280)
+    # every eligible product shape's chosen blocks satisfy the VMEM model
+    for (h, w, c, co) in [(40, 64, 320, 320), (20, 32, 640, 640),
+                          (40, 64, 640, 320), (36, 64, 640, 640),
+                          (72, 128, 320, 320), (72, 128, 640, 320)]:
+        blk = c2._choose_blocks(h, w, c, co)
+        if blk is None:
+            continue
+        co_blk, n_strips = blk
+        assert co % co_blk == 0 and h % n_strips == 0
+        assert c2._stack_bytes(h, w, c, co_blk,
+                               h // n_strips) <= c2._STACK_BUDGET
+
+
+def test_env_gate(monkeypatch):
+    monkeypatch.setenv("PANDORA_DISABLE_PCONV", "1")
+    assert not c2.conv3x3_eligible(40, 64, 320, 320)
