@@ -460,6 +460,41 @@ class TemporalTransformer(nn.Module):
         return x_in + y
 
 
+class _SConv3x3(nn.Module):
+    """Stride-1 same-pad 3x3 spatial conv with the Pallas direct kernel on
+    eligible TPU shapes (ops/conv2d.py: nine accumulated MXU dots over an
+    in-VMEM slab — the conv-MXU attack, PERF.md round 4) and the XLA conv
+    elsewhere. Param tree identical to nn.Conv ({kernel: (3,3,cin,cout),
+    bias: (cout,)}) so checkpoints are interchangeable."""
+
+    features: int
+    zero: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, fast: bool = False):
+        from open_pandora_tpu.ops.attention import _on_tpu
+        from open_pandora_tpu.ops.conv2d import (conv3x3_eligible,
+                                                 conv3x3_nhwc)
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero
+            else nn.initializers.lecun_normal(),
+            (3, 3, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # fast (eval-only): the Pallas kernel has no VJP — training paths
+        # (deterministic=False) keep the differentiable XLA conv
+        if (fast and _on_tpu()
+                and conv3x3_eligible(x.shape[1], x.shape[2], c_in,
+                                     self.features)):
+            return conv3x3_nhwc(x, jnp.asarray(kernel), jnp.asarray(bias))
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(kernel, self.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.asarray(bias, y.dtype)
+
+
 class _TConv3(nn.Module):
     """k=(3,1,1) temporal conv as three shifted t-axis matmuls.
 
@@ -543,16 +578,15 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb, batch_size: int, deterministic: bool = True):
         in_ch = x.shape[-1]
         h = GroupNorm32(name="in_norm")(x, silu=True)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="in_conv")(h)
+        h = _SConv3x3(self.out_ch, dtype=self.dtype,
+                      name="in_conv")(h, fast=deterministic)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_layers_1")(
             jax.nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(name="out_norm")(h, silu=True)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1,
-                    kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                    name="out_conv")(h)
+        h = _SConv3x3(self.out_ch, zero=True, dtype=self.dtype,
+                      name="out_conv")(h, fast=deterministic)
         if in_ch != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
                         name="skip_connection")(x)
@@ -582,12 +616,12 @@ class Upsample(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fast: bool = False):
         b, h, w, c = x.shape
         dt = x.dtype
         y = jax.image.resize(x.astype(jnp.float32), (b, h * 2, w * 2, c),
                              method="nearest").astype(dt)
-        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(y)
+        return _SConv3x3(c, dtype=self.dtype, name="conv")(y, fast=fast)
 
 
 class UNetModel(nn.Module):
@@ -678,8 +712,8 @@ class UNetModel(nn.Module):
             return mod(hv, deterministic).reshape(bt, sh, sw, c)
 
         # ---- input blocks ----
-        h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype,
-                    name="input_blocks_0_0")(h)
+        h = _SConv3x3(mc, dtype=self.dtype,
+                      name="input_blocks_0_0")(h, fast=deterministic)
         if cfg.addition_attention:
             h = temporal_apply(h, make_temporal(mc, "init_attn", heads=8))
         hs = [h]
@@ -730,7 +764,8 @@ class UNetModel(nn.Module):
                             h, make_temporal(ch, f"output_blocks_{block_idx}_2"))
                 if level and i == cfg.num_res_blocks:
                     h = Upsample(dtype=self.dtype,
-                                 name=f"output_blocks_{block_idx}_up")(h)
+                                 name=f"output_blocks_{block_idx}_up")(
+                                     h, fast=deterministic)
                     ds //= 2
                 block_idx += 1
 

@@ -80,6 +80,12 @@ def main():
                    choices=["adamw", "adamw8bit"],
                    help="adamw8bit (default) is the single-chip-fitting "
                         "configuration at 576x1024")
+    p.add_argument("--offload", action="store_true",
+                   help="AdamW moments resident in pinned host memory "
+                        "(make_offloaded_latent_step) — the fallback when "
+                        "the device-resident step OOMs HBM (measured "
+                        "2026-08-19: resident 8-bit moments + no-donation "
+                        "double-buffering exceed 16 GB at 576x1024)")
     args = p.parse_args()
 
     if args.phase == "precompute":
@@ -134,14 +140,28 @@ def main():
     # (train/optim8bit.py) cut optimizer state to 1.45G and fit.
     tcfg = TrainConfig(learning_rate=5e-5, uncond_prob=0.0, max_steps=10,
                        grad_clip_norm=0.5, optimizer=args.optimizer)
-    step, tx = make_latent_finetune_step(model, tcfg)
-    state = TrainState.create(unet_params, "dynamicrafter", tx)
+    if args.offload:
+        from open_pandora_tpu.train.step import make_offloaded_latent_step
+        step, tx, put_state = make_offloaded_latent_step(model, tcfg)
+    else:
+        step, tx = make_latent_finetune_step(model, tcfg)
+        put_state = lambda s: s
+    state = put_state(TrainState.create(unet_params, "dynamicrafter", tx))
     batch = {"z": z, "ctx": ctx, "z_cond": z_cond,
              "fps": jnp.full((1,), 8, jnp.int32)}
 
     t0 = time.perf_counter()
-    state, m = step(state, batch, jax.random.PRNGKey(3))
-    loss0 = float(m["loss"])  # host fetch = sync (compile + step)
+    try:
+        state, m = step(state, batch, jax.random.PRNGKey(3))
+        loss0 = float(m["loss"])  # host fetch = sync (compile + step)
+    except Exception:
+        try:
+            ms = jax.devices()[0].memory_stats()
+            print({k: round(v / 2**30, 2) for k, v in ms.items()
+                   if "bytes" in k}, file=sys.stderr)
+        except Exception:
+            pass
+        raise
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -161,7 +181,9 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": f"latent_finetune_step_{H}x{W}x{T}f_bs1",
+        "metric": (f"latent_finetune_step_{H}x{W}x{T}f_bs1"
+                   + ("_hostoffload" if args.offload else "")),
+        "optimizer": args.optimizer,
         "sec_per_step": round(per_step, 3),
         "compile_s": round(compile_s, 1),
         "loss_first": round(loss0, 4), "loss_last": round(loss, 4),

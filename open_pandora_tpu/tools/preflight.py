@@ -105,6 +105,44 @@ def preflight_attention(ab_multi: bool = False) -> int:
     return fails
 
 
+def preflight_conv() -> int:
+    """Compile every Pallas-routed product conv shape (ops/conv2d.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_pandora_tpu.ops.conv2d import (_choose_blocks,
+                                             conv3x3_eligible, conv3x3_nhwc)
+
+    b = B_CFG * T_FRAMES
+    shapes = [
+        (40, 64, 320, 320, "320x512 L0"), (40, 64, 640, 320, "320x512 L0dec"),
+        (40, 64, 8, 320, "320x512 stem"), (20, 32, 640, 640, "320x512 L1"),
+        (20, 32, 1280, 640, "320x512 L1dec"),
+        (40, 64, 320, 320, "320x512 L0up"),
+        (72, 128, 320, 320, "576x1024 L0"), (36, 64, 640, 640, "576x1024 L1"),
+        (36, 64, 1280, 640, "576x1024 L1dec"),
+        (72, 128, 640, 320, "576x1024 L0dec"),
+    ]
+    fails = 0
+    seen = set()
+    for (h, w, c, co, where) in shapes:
+        if (h, w, c, co) in seen:
+            continue
+        seen.add((h, w, c, co))
+        if not conv3x3_eligible(h, w, c, co):
+            print(f"SKIP conv {where} ({h}x{w} c{c}->co{co}) -> XLA")
+            continue
+        blk = _choose_blocks(h, w, c, co)
+        x_sd = jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16)
+        w_sd = jax.ShapeDtypeStruct((3, 3, c, co), jnp.float32)
+        b_sd = jax.ShapeDtypeStruct((co,), jnp.float32)
+        fn = jax.jit(conv3x3_nhwc)
+        fails += not _check(
+            f"conv {where} ({h}x{w} c{c}->co{co} blk={blk})",
+            lambda: fn.lower(x_sd, w_sd, b_sd).compile())
+    return fails
+
+
 def preflight_model(height: int, width: int) -> int:
     import jax
     import jax.numpy as jnp
@@ -166,6 +204,7 @@ def main() -> None:
           f"({jax.devices()[0].device_kind})", flush=True)
 
     fails = preflight_attention(ab_multi=args.ab_multi)
+    fails += preflight_conv()
     if not (args.skip_model or args.only_attention):
         for h, w in [(320, 512), (576, 1024)]:
             fails += preflight_model(h, w)

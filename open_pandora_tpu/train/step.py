@@ -199,9 +199,13 @@ def make_offloaded_latent_step(model: DynamiCrafter, tcfg: TrainConfig):
         if "fn" not in cache:
             ss = state_shardings(state)
             bs = jax.tree_util.tree_map(lambda _: on_dev, batch)
+            # donate the state: without input/output aliasing the old and
+            # new params coexist (2x 2.86 GB at 576x1024) — the margin
+            # between fitting and the measured 2026-08-19 HBM OOM
             cache["fn"] = jax.jit(offloaded,
                                   in_shardings=(ss, bs, on_dev),
-                                  out_shardings=(ss, None))
+                                  out_shardings=(ss, None),
+                                  donate_argnums=(0,))
         return cache["fn"](state, batch, key)
 
     def put_state(state: TrainState) -> TrainState:

@@ -107,6 +107,7 @@ def test_strip_stop():
 
 # ------------------------------------------------------- subprocess smoke
 @pytest.mark.slow
+@pytest.mark.clismoke
 def test_scienceqa_runner_debug(tmp_path):
     from PIL import Image
     img_dir = tmp_path / "imgs"
@@ -135,6 +136,7 @@ def test_scienceqa_runner_debug(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.clismoke
 def test_consistency_runner_debug(tmp_path):
     from open_pandora_tpu.utils.video_io import write_video
     vdir = tmp_path / "vids"

@@ -56,6 +56,7 @@ def test_greedy_generate_eos_stops():
     assert toks[0] == first and all(t == first for t in toks[1:])
 
 
+@pytest.mark.clismoke
 def test_qa_runner_debug(tmp_path):
     qfile = tmp_path / "q.jsonl"
     qfile.write_text(json.dumps({"id": 1, "text": "what is this"}) + "\n")

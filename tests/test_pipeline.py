@@ -87,6 +87,7 @@ def test_read_video_uniform_sampling(tmp_path):
     assert means[0] < means[-1]
 
 
+@pytest.mark.clismoke
 def test_cli_multiround_debug(tmp_path):
     """Full product loop through the real CLI: 2 rounds, tiny config."""
     img_path = str(tmp_path / "in.png")

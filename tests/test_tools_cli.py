@@ -31,3 +31,27 @@ def test_hires_train_probe_help():
     r = _help("open_pandora_tpu.tools.hires_train_probe")
     assert r.returncode == 0, r.stderr
     assert "--steps" in r.stdout and "--optimizer" in r.stdout
+
+
+def test_preflight_help():
+    r = _help("open_pandora_tpu.tools.preflight")
+    assert r.returncode == 0, r.stderr
+    assert "--ab-multi" in r.stdout
+
+
+def test_conv_bench_help():
+    r = _help("open_pandora_tpu.tools.conv_bench")
+    assert r.returncode == 0, r.stderr
+    assert "--iters" in r.stdout
+
+
+def test_scienceqa_help():
+    r = _help("open_pandora_tpu.eval.scienceqa")
+    assert r.returncode == 0, r.stderr
+    assert "run" in r.stdout and "score" in r.stdout
+
+
+def test_consistency_help():
+    r = _help("open_pandora_tpu.eval.consistency")
+    assert r.returncode == 0, r.stderr
+    assert "--video-folder" in r.stdout
