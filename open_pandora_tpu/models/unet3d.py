@@ -289,11 +289,21 @@ class BasicTransformerBlock(nn.Module):
                     wv.astype(self.dtype), wo.astype(self.dtype),
                     bo.astype(self.dtype), g, b, heads=self.heads)
         else:
-            x = x + CrossAttention(
+            import os
+            attn_cls = CrossAttention
+            if os.environ.get("PANDORA_FINE_REMAT") and not deterministic:
+                # nested remat for memory-critical training (576x1024):
+                # checkpoint each attention/FF separately so one block's
+                # backward never materializes attn1 + attn2 + FF
+                # temporaries together (the measured 2026-08-19 771 MB HBM
+                # shortfall was exactly the L0 spatial block's coexisting
+                # fp32 attention temps + relayout copies)
+                attn_cls = nn.remat(CrossAttention, static_argnums=(3,))
+            x = x + attn_cls(
                 heads=self.heads, dim_head=self.dim_head, dropout=self.dropout,
                 dtype=self.dtype, name="attn1",
-            )(LayerNorm(name="norm1")(x), None, deterministic, mask=self_mask)
-            x = x + CrossAttention(
+            )(LayerNorm(name="norm1")(x), None, deterministic, self_mask)
+            x = x + attn_cls(
                 heads=self.heads, dim_head=self.dim_head,
                 context_dim=self.context_dim,
                 image_cross_attention=self.image_cross_attention,
@@ -310,7 +320,11 @@ class BasicTransformerBlock(nn.Module):
         # at every UNet shape on v5e, and the in-program XLA FF is fast once
         # neighboring convs pin sane layouts (tconv+ff3d chain: 2.4 ms at
         # the level-0 temporal shape vs 21 ms for an isolated 3D FF).
-        x = x + FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
+        import os
+        ff_cls = (nn.remat(FeedForward, static_argnums=(2,))
+                  if os.environ.get("PANDORA_FINE_REMAT")
+                  and not deterministic else FeedForward)
+        x = x + ff_cls(dropout=self.dropout, dtype=self.dtype, name="ff")(
             LayerNorm(name="norm3")(x), deterministic)
         return x
 
@@ -473,10 +487,14 @@ class _SConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x, fast: bool = False):
+        import os
+
         from open_pandora_tpu.ops.attention import _on_tpu
-        from open_pandora_tpu.ops.conv2d import (conv3x3_eligible,
+        from open_pandora_tpu.ops.conv2d import (CENSUS, conv3x3_eligible,
                                                  conv3x3_nhwc)
         c_in = x.shape[-1]
+        if os.environ.get("PANDORA_CONV_CENSUS"):
+            CENSUS.add((x.shape[1], x.shape[2], c_in, self.features))
         kernel = self.param(
             "kernel",
             nn.initializers.zeros if self.zero

@@ -29,22 +29,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# calibrated on v5e (2026-08-19): see PERF.md round-4 conv section.
-_STACK_BUDGET = 12.0 * 2**20
+# calibrated on v5e (2026-08-19): (20,32,1280,co_blk=256) FAILS at a real
+# 16.17M stack (modeled 18.0M with the weight double-buffer term below);
+# (20,32,640,640) single-co-block passes (modeled 12.4M). Budget sits
+# between the largest known-good model and the smallest known-bad one.
+_STACK_BUDGET = 14.0 * 2**20
 _LANES = 128
+
+# populated by _SConv3x3 when PANDORA_CONV_CENSUS is set (preflight
+# traces the UNet to enumerate every conv site instead of a
+# hand-maintained list that can miss shapes)
+CENSUS: set = set()
+
+# Mosaic codegen crash denylist, calibrated on the real chip (2026-08-19):
+# EVERY in-budget block config for these (h, w, c) input slabs dies in the
+# server-side compile helper (subprocess exit 1, no diagnostic — not a
+# scoped-VMEM message), while their 640/320 column splits compile green.
+# The c=960 entries are the decoder concat convs (skip 320 + body 640);
+# those route through the split path below. (72,128,8) is the 576x1024
+# stem — tiny K, XLA handles it.
+_MOSAIC_DENY = {(36, 64, 960), (40, 64, 960), (72, 128, 8)}
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _stack_bytes(h: int, w: int, c: int, co_blk: int, hs: int) -> int:
+def _stack_bytes(h: int, w: int, c: int, co_blk: int, hs: int,
+                 co: int) -> int:
     """Modeled VMEM stack for one program: input slab + double-buffered
-    shifted-slice temp + fp32 accumulator + weights + output block."""
+    shifted-slice temp + fp32 accumulator + weights (double-buffered when
+    the co grid dimension revisits them) + output block."""
     x_slab = (h + 2) * (w + 2) * c * 2
     slice_tmp = 2 * hs * w * c * 2          # x2: pipelining headroom
     acc = hs * w * co_blk * 4
-    wgt = 9 * c * co_blk * 2
+    wgt = 9 * c * co_blk * 2 * (2 if co // co_blk > 1 else 1)
     out = h * w * co_blk * 2
     return x_slab + slice_tmp + acc + wgt + out
 
@@ -61,8 +80,25 @@ def _choose_blocks(h: int, w: int, c: int, co: int):
         for n_strips in (1, 2, 4, 8):
             if h % n_strips:
                 continue
-            if _stack_bytes(h, w, c, co_blk, h // n_strips) <= _STACK_BUDGET:
+            if _stack_bytes(h, w, c, co_blk, h // n_strips,
+                            co) <= _STACK_BUDGET:
                 return co_blk, n_strips
+    return None
+
+
+def _split_point(h: int, w: int, c: int, co: int):
+    """For denylisted slabs: a C-split point p so conv(x[..,:p]) +
+    conv(x[..,p:]) replaces the whole conv, with both parts individually
+    compiling. Prefers the calibrated 640+320 split (both measured green
+    at every product decoder shape)."""
+    for p in (640, 512, 384, c // 2):
+        q = c - p
+        if not (0 < p < c) or p % 8 or q % 8:
+            continue
+        if (h, w, p) in _MOSAIC_DENY or (h, w, q) in _MOSAIC_DENY:
+            continue
+        if _choose_blocks(h, w, p, co) and _choose_blocks(h, w, q, co):
+            return p
     return None
 
 
@@ -74,6 +110,8 @@ def conv3x3_eligible(h: int, w: int, c: int, co: int) -> bool:
     # tiny spatial levels: M = h*w too small to beat XLA's fused path
     if h * w < 512:
         return False
+    if (h, w, c) in _MOSAIC_DENY:
+        return _split_point(h, w, c, co) is not None
     return _choose_blocks(h, w, c, co) is not None
 
 
@@ -100,6 +138,13 @@ def conv3x3_nhwc(x: jnp.ndarray, w: jnp.ndarray,
     B, H, W, C = x.shape
     assert w.shape[:3] == (3, 3, C), w.shape
     Co = w.shape[-1]
+    if (H, W, C) in _MOSAIC_DENY:
+        p = _split_point(H, W, C, Co)
+        assert p is not None, (
+            f"conv3x3_nhwc: denylisted slab {(H, W, C)} with no viable "
+            "split; route via conv3x3_eligible")
+        return (conv3x3_nhwc(x[..., :p], w[:, :, :p], b)
+                + conv3x3_nhwc(x[..., p:], w[:, :, p:], None))
     chosen = _choose_blocks(H, W, C, Co)
     assert chosen is not None, (
         f"conv3x3_nhwc: no block fits VMEM for {(H, W, C, Co)}; "

@@ -105,40 +105,65 @@ def preflight_attention(ab_multi: bool = False) -> int:
     return fails
 
 
-def preflight_conv() -> int:
-    """Compile every Pallas-routed product conv shape (ops/conv2d.py)."""
+def conv_census():
+    """Trace the full UNet at both product resolutions with the census
+    hook on; returns every _SConv3x3 (h, w, cin, cout) the product reaches
+    (a hand-maintained shape list missed the Upsample convs — the
+    2026-08-19 scoped-VMEM OOM at output_blocks_5_up)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    from open_pandora_tpu.ops.conv2d import (_choose_blocks,
-                                             conv3x3_eligible, conv3x3_nhwc)
+    from open_pandora_tpu.core.config import PandoraConfig
+    from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
+    from open_pandora_tpu.ops import conv2d
+
+    cfg = PandoraConfig()
+    dc = DynamiCrafter(cfg, dtype=jnp.bfloat16)
+    T = cfg.unet.temporal_length
+    ctx_len = cfg.unet.text_context_len + T * cfg.unet.img_tokens_per_frame
+    os.environ["PANDORA_CONV_CENSUS"] = "1"
+    conv2d.CENSUS.clear()
+    try:
+        for height, width in [(320, 512), (576, 1024)]:
+            hz, wz = height // 8, width // 8
+            jax.eval_shape(
+                dc.unet.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((B_CFG, T, hz, wz,
+                                      cfg.unet.in_channels), jnp.bfloat16),
+                jax.ShapeDtypeStruct((B_CFG,), jnp.int32),
+                jax.ShapeDtypeStruct((B_CFG, ctx_len, cfg.unet.context_dim),
+                                     jnp.bfloat16))
+    finally:
+        del os.environ["PANDORA_CONV_CENSUS"]
+    return sorted(conv2d.CENSUS)
+
+
+def preflight_conv() -> int:
+    """Compile every Pallas-routed product conv shape (ops/conv2d.py),
+    enumerated by tracing the UNet itself."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_pandora_tpu.ops.conv2d import (_MOSAIC_DENY, _choose_blocks,
+                                             _split_point, conv3x3_eligible,
+                                             conv3x3_nhwc)
 
     b = B_CFG * T_FRAMES
-    shapes = [
-        (40, 64, 320, 320, "320x512 L0"), (40, 64, 640, 320, "320x512 L0dec"),
-        (40, 64, 8, 320, "320x512 stem"), (20, 32, 640, 640, "320x512 L1"),
-        (20, 32, 1280, 640, "320x512 L1dec"),
-        (40, 64, 320, 320, "320x512 L0up"),
-        (72, 128, 320, 320, "576x1024 L0"), (36, 64, 640, 640, "576x1024 L1"),
-        (36, 64, 1280, 640, "576x1024 L1dec"),
-        (72, 128, 640, 320, "576x1024 L0dec"),
-    ]
     fails = 0
-    seen = set()
-    for (h, w, c, co, where) in shapes:
-        if (h, w, c, co) in seen:
-            continue
-        seen.add((h, w, c, co))
+    for (h, w, c, co) in conv_census():
         if not conv3x3_eligible(h, w, c, co):
-            print(f"SKIP conv {where} ({h}x{w} c{c}->co{co}) -> XLA")
+            print(f"SKIP conv {h}x{w} c{c}->co{co} -> XLA")
             continue
-        blk = _choose_blocks(h, w, c, co)
+        blk = (f"split@{_split_point(h, w, c, co)}"
+               if (h, w, c) in _MOSAIC_DENY else _choose_blocks(h, w, c, co))
         x_sd = jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16)
         w_sd = jax.ShapeDtypeStruct((3, 3, c, co), jnp.float32)
         b_sd = jax.ShapeDtypeStruct((co,), jnp.float32)
         fn = jax.jit(conv3x3_nhwc)
         fails += not _check(
-            f"conv {where} ({h}x{w} c{c}->co{co} blk={blk})",
+            f"conv {h}x{w} c{c}->co{co} blk={blk}",
             lambda: fn.lower(x_sd, w_sd, b_sd).compile())
     return fails
 

@@ -88,8 +88,34 @@ def test_eligibility_and_blocks():
             continue
         co_blk, n_strips = blk
         assert co % co_blk == 0 and h % n_strips == 0
-        assert c2._stack_bytes(h, w, c, co_blk,
-                               h // n_strips) <= c2._STACK_BUDGET
+        assert c2._stack_bytes(h, w, c, co_blk, h // n_strips,
+                               co) <= c2._STACK_BUDGET
+
+
+def test_split_path_matches_xla(_interpret_pallas, monkeypatch):
+    """Denylisted slabs route through the C-split (two kernels, summed)."""
+    B, H, W, C, Co = 1, 16, 32, 48, 32
+    monkeypatch.setattr(c2, "_MOSAIC_DENY", {(H, W, C)})
+    assert c2.conv3x3_eligible(H, W, C, Co)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (Co,), jnp.float32)
+    out = c2.conv3x3_nhwc(x, w, b)
+    ref = _xla_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_product_denylist_splits():
+    # the 576x1024 / 320x512 decoder concat convs (skip 320 + body 640)
+    # crash Mosaic whole but split 640+320 green (calibrated 2026-08-19)
+    for (h, w, c, co) in [(36, 64, 960, 640), (40, 64, 960, 320)]:
+        assert (h, w, c) in c2._MOSAIC_DENY
+        assert c2._split_point(h, w, c, co) == 640
+        assert c2.conv3x3_eligible(h, w, c, co)
+    # the 576x1024 stem (c=8) has no viable split -> XLA
+    assert not c2.conv3x3_eligible(72, 128, 8, 320)
 
 
 def test_env_gate(monkeypatch):
