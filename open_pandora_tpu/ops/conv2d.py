@@ -29,11 +29,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# calibrated on v5e (2026-08-19): (20,32,1280,co_blk=256) FAILS at a real
-# 16.17M stack (modeled 18.0M with the weight double-buffer term below);
-# (20,32,640,640) single-co-block passes (modeled 12.4M). Budget sits
-# between the largest known-good model and the smallest known-bad one.
-_STACK_BUDGET = 14.0 * 2**20
+# The kernel's scoped-VMEM limit is raised from the 16 MB default via
+# CompilerParams: v5e has 128 MB of VMEM, this kernel reads its input
+# exactly once (no prefetch overlap to preserve), and the 16 MB default
+# demonstrably cannot hold the real Mosaic stack of the product slabs
+# in-program (measured 17.11M at (40,64,320->320): lane padding 320->384
+# on every C-dim buffer plus input-slab double-buffering across the batch
+# grid inflate the stack ~1.5x over the naive model below). The model
+# budget keeps >=1.6x margin under the raised limit.
+_VMEM_LIMIT = int(64 * 2**20)
+_STACK_BUDGET = 32.0 * 2**20
 _LANES = 128
 
 # populated by _SConv3x3 when PANDORA_CONV_CENSUS is set (preflight
@@ -41,14 +46,14 @@ _LANES = 128
 # hand-maintained list that can miss shapes)
 CENSUS: set = set()
 
-# Mosaic codegen crash denylist, calibrated on the real chip (2026-08-19):
-# EVERY in-budget block config for these (h, w, c) input slabs dies in the
-# server-side compile helper (subprocess exit 1, no diagnostic — not a
-# scoped-VMEM message), while their 640/320 column splits compile green.
-# The c=960 entries are the decoder concat convs (skip 320 + body 640);
-# those route through the split path below. (72,128,8) is the 576x1024
-# stem — tiny K, XLA handles it.
-_MOSAIC_DENY = {(36, 64, 960), (40, 64, 960), (72, 128, 8)}
+# Compile-failure denylist: (h, w, c) slabs that fail the real-chip AOT
+# compile despite fitting the model route through the C-split path below
+# (or to XLA when no split is viable). EMPTY since the scoped-VMEM limit
+# was raised: under the 16 MB default, (36,64,960), (40,64,960) and
+# (72,128,8) died in the compile helper (exit 1, no diagnostic) at every
+# block config — all compile green at 64 MB. Kept as the calibrated
+# escape hatch for future preflight failures at new product shapes.
+_MOSAIC_DENY: set = set()
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -87,10 +92,11 @@ def _choose_blocks(h: int, w: int, c: int, co: int):
 
 
 def _split_point(h: int, w: int, c: int, co: int):
-    """For denylisted slabs: a C-split point p so conv(x[..,:p]) +
-    conv(x[..,p:]) replaces the whole conv, with both parts individually
-    compiling. Prefers the calibrated 640+320 split (both measured green
-    at every product decoder shape)."""
+    """For slabs that cannot route whole (denylisted, or no block config
+    fits the budget): a C-split point p so conv(x[..,:p]) + conv(x[..,p:])
+    replaces the whole conv, with both parts individually compiling.
+    Prefers the 640+320 split (the decoder concat convs are skip 320 +
+    body 640; both halves measured green at every product shape)."""
     for p in (640, 512, 384, c // 2):
         q = c - p
         if not (0 < p < c) or p % 8 or q % 8:
@@ -105,14 +111,18 @@ def _split_point(h: int, w: int, c: int, co: int):
 def conv3x3_eligible(h: int, w: int, c: int, co: int) -> bool:
     if os.environ.get("PANDORA_DISABLE_PCONV"):
         return False
+    # diagnostic bisection knob: comma-separated "HxWxCxCO" whitelist
+    only = os.environ.get("PANDORA_PCONV_ONLY")
+    if only and f"{h}x{w}x{c}x{co}" not in only.split(","):
+        return False
     if c % 8 or co % 8:
         return False
     # tiny spatial levels: M = h*w too small to beat XLA's fused path
     if h * w < 512:
         return False
-    if (h, w, c) in _MOSAIC_DENY:
-        return _split_point(h, w, c, co) is not None
-    return _choose_blocks(h, w, c, co) is not None
+    if (h, w, c) not in _MOSAIC_DENY and _choose_blocks(h, w, c, co):
+        return True
+    return _split_point(h, w, c, co) is not None
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, H, W, co_blk, n_strips, out_dtype):
@@ -138,10 +148,10 @@ def conv3x3_nhwc(x: jnp.ndarray, w: jnp.ndarray,
     B, H, W, C = x.shape
     assert w.shape[:3] == (3, 3, C), w.shape
     Co = w.shape[-1]
-    if (H, W, C) in _MOSAIC_DENY:
+    if (H, W, C) in _MOSAIC_DENY or _choose_blocks(H, W, C, Co) is None:
         p = _split_point(H, W, C, Co)
         assert p is not None, (
-            f"conv3x3_nhwc: denylisted slab {(H, W, C)} with no viable "
+            f"conv3x3_nhwc: slab {(H, W, C)} routes neither whole nor "
             "split; route via conv3x3_eligible")
         return (conv3x3_nhwc(x[..., :p], w[:, :, :p], b)
                 + conv3x3_nhwc(x[..., p:], w[:, :, p:], None))
@@ -169,4 +179,5 @@ def conv3x3_nhwc(x: jnp.ndarray, w: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, H, W, co_blk), lambda i, j: (i, 0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, wb, bias2d)

@@ -107,15 +107,19 @@ def test_split_path_matches_xla(_interpret_pallas, monkeypatch):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_product_denylist_splits():
-    # the 576x1024 / 320x512 decoder concat convs (skip 320 + body 640)
-    # crash Mosaic whole but split 640+320 green (calibrated 2026-08-19)
-    for (h, w, c, co) in [(36, 64, 960, 640), (40, 64, 960, 320)]:
-        assert (h, w, c) in c2._MOSAIC_DENY
-        assert c2._split_point(h, w, c, co) == 640
-        assert c2.conv3x3_eligible(h, w, c, co)
-    # the 576x1024 stem (c=8) has no viable split -> XLA
-    assert not c2.conv3x3_eligible(72, 128, 8, 320)
+def test_product_shapes_eligible_whole():
+    # under the raised 64M scoped-VMEM limit every product conv slab
+    # (both resolutions) routes whole — incl. the decoder concat convs
+    # and the 576x1024 L0 slabs that OOMed the 16M default (2026-08-19)
+    assert c2._MOSAIC_DENY == set()
+    for (h, w, c, co) in [(36, 64, 960, 640), (40, 64, 960, 320),
+                          (72, 128, 8, 320), (72, 128, 320, 320),
+                          (72, 128, 960, 320)]:
+        assert c2.conv3x3_eligible(h, w, c, co), (h, w, c, co)
+    # the hi-res L0 decoder concat is too big whole at any block config:
+    # it routes via the generalized C-split fallback
+    assert c2._choose_blocks(72, 128, 960, 320) is None
+    assert c2._split_point(72, 128, 960, 320) == 640
 
 
 def test_env_gate(monkeypatch):
