@@ -109,11 +109,24 @@ def _split_point(h: int, w: int, c: int, co: int):
 
 
 def conv3x3_eligible(h: int, w: int, c: int, co: int) -> bool:
+    """OPT-IN (round-4 measured negative result, PERF.md): in-program the
+    direct kernel LOSES to XLA's conv emitter at both product resolutions
+    — 320x512 CFG-pair eval 290.4 ms routed vs 271.6 XLA (L0-only routing
+    289.4: the loss is concentrated in the biggest slabs, where the
+    out-of-kernel pad round-trip + losing XLA's conv prologue/epilogue
+    fusions cost more than the per-site MXU win of the nine-dot kernel,
+    4.15 ms Pallas vs ~5-6 XLA at 20x32 c1280). Route via
+    PANDORA_ENABLE_PCONV=1 or the PANDORA_PCONV_ONLY whitelist; the
+    preflight keeps compiling every product shape so the kernel stays a
+    live base for an in-kernel-pad + fused-epilogue round-5 iteration."""
     if os.environ.get("PANDORA_DISABLE_PCONV"):
         return False
     # diagnostic bisection knob: comma-separated "HxWxCxCO" whitelist
     only = os.environ.get("PANDORA_PCONV_ONLY")
-    if only and f"{h}x{w}x{c}x{co}" not in only.split(","):
+    if only:
+        if f"{h}x{w}x{c}x{co}" not in only.split(","):
+            return False
+    elif not os.environ.get("PANDORA_ENABLE_PCONV"):
         return False
     if c % 8 or co % 8:
         return False

@@ -32,11 +32,16 @@ def main():
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from open_pandora_tpu.ops.conv2d import conv3x3_eligible, conv3x3_nhwc
+
+    # the tool's whole purpose is A/B-ing the (opt-in) kernel
+    os.environ.setdefault("PANDORA_ENABLE_PCONV", "1")
 
     print(f"backend: {jax.devices()[0].device_kind}", flush=True)
 

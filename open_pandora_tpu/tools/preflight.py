@@ -141,8 +141,13 @@ def conv_census():
 
 
 def preflight_conv() -> int:
-    """Compile every Pallas-routed product conv shape (ops/conv2d.py),
-    enumerated by tracing the UNet itself."""
+    """Compile every Pallas-ROUTABLE product conv shape (ops/conv2d.py),
+    enumerated by tracing the UNet itself. The kernel is opt-in for the
+    product path (round-4 in-program negative result, PERF.md), but the
+    preflight keeps compiling the full matrix so PANDORA_ENABLE_PCONV /
+    PANDORA_PCONV_ONLY experiments stay safe at every shape."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -150,6 +155,7 @@ def preflight_conv() -> int:
                                              _split_point, conv3x3_eligible,
                                              conv3x3_nhwc)
 
+    os.environ.setdefault("PANDORA_ENABLE_PCONV", "1")
     b = B_CFG * T_FRAMES
     fails = 0
     for (h, w, c, co) in conv_census():

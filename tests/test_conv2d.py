@@ -70,7 +70,8 @@ def test_conv3x3_bf16(_interpret_pallas):
                                np.asarray(ref), atol=0.15, rtol=0.1)
 
 
-def test_eligibility_and_blocks():
+def test_eligibility_and_blocks(monkeypatch):
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV", "1")
     # product shapes at 320x512 (B*T folded out of the model):
     # L0 self 40x64 c320->320 must fit; L1 20x32 c640->640 must fit
     assert c2.conv3x3_eligible(40, 64, 320, 320)
@@ -95,6 +96,7 @@ def test_eligibility_and_blocks():
 def test_split_path_matches_xla(_interpret_pallas, monkeypatch):
     """Denylisted slabs route through the C-split (two kernels, summed)."""
     B, H, W, C, Co = 1, 16, 32, 48, 32
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV", "1")
     monkeypatch.setattr(c2, "_MOSAIC_DENY", {(H, W, C)})
     assert c2.conv3x3_eligible(H, W, C, Co)
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
@@ -107,7 +109,8 @@ def test_split_path_matches_xla(_interpret_pallas, monkeypatch):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_product_shapes_eligible_whole():
+def test_product_shapes_eligible_whole(monkeypatch):
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV", "1")
     # under the raised 64M scoped-VMEM limit every product conv slab
     # (both resolutions) routes whole — incl. the decoder concat convs
     # and the 576x1024 L0 slabs that OOMed the 16M default (2026-08-19)
@@ -123,5 +126,15 @@ def test_product_shapes_eligible_whole():
 
 
 def test_env_gate(monkeypatch):
+    # default (no env): routing is opt-in after the round-4 in-program
+    # negative result — XLA convs win the full eval at both resolutions
+    assert not c2.conv3x3_eligible(40, 64, 320, 320)
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV", "1")
+    assert c2.conv3x3_eligible(40, 64, 320, 320)
     monkeypatch.setenv("PANDORA_DISABLE_PCONV", "1")
     assert not c2.conv3x3_eligible(40, 64, 320, 320)
+    monkeypatch.delenv("PANDORA_DISABLE_PCONV")
+    monkeypatch.delenv("PANDORA_ENABLE_PCONV")
+    monkeypatch.setenv("PANDORA_PCONV_ONLY", "40x64x320x320")
+    assert c2.conv3x3_eligible(40, 64, 320, 320)
+    assert not c2.conv3x3_eligible(20, 32, 640, 640)
