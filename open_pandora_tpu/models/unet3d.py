@@ -54,11 +54,38 @@ class GroupNorm32(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, silu: bool = False):
+    def __call__(self, x, silu: bool = False, stats_only: bool = False,
+                 extra=None):
         from open_pandora_tpu.ops.fused_norms import fused_group_norm_silu
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if stats_only:
+            # Per-(batch, channel) affine fold for the fused conv kernel
+            # (ops/conv2d.py conv3x3_fused): GN(x + extra) == x*a + b with
+            #   a_c = gamma_c / sigma_g,  b_c = (e_c - mu_g)*a_c + beta_c.
+            # Group stats of (x + e) from per-channel moments of x (the
+            # ResBlock's emb add, openaimodel3d.py:213-218, folds in free):
+            #   mu_g  = mean_{c in g}(m1_c + e_c)
+            #   E[v2] = mean_{c in g}(m2_c + 2 e_c m1_c + e_c^2)
+            xf = x.astype(jnp.float32)
+            red = tuple(range(1, x.ndim - 1))
+            m1 = jnp.mean(xf, axis=red)                       # (B, C)
+            m2 = jnp.mean(jnp.square(xf), axis=red)           # (B, C)
+            e = (jnp.zeros_like(m1) if extra is None
+                 else extra.astype(jnp.float32))
+            B = m1.shape[0]
+            gshape = (B, 32, c // 32)
+            mu = jnp.mean((m1 + e).reshape(gshape), axis=-1)  # (B, 32)
+            ex2 = jnp.mean((m2 + 2 * e * m1 + jnp.square(e)).reshape(gshape),
+                           axis=-1)
+            var = ex2 - jnp.square(mu)
+            inv = jax.lax.rsqrt(var + self.eps)               # (B, 32)
+            mu = jnp.repeat(mu, c // 32, axis=-1)             # (B, C)
+            inv = jnp.repeat(inv, c // 32, axis=-1)
+            a = scale.astype(jnp.float32) * inv
+            bsh = (e - mu) * a + bias.astype(jnp.float32)
+            return a, bsh
         return fused_group_norm_silu(x, scale, bias, num_groups=32,
                                      eps=self.eps, silu=silu)
 
@@ -486,11 +513,13 @@ class _SConv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fast: bool = False):
+    def __call__(self, x, fast: bool = False, prologue=None, residual=None):
         import os
 
         from open_pandora_tpu.ops.attention import _on_tpu
         from open_pandora_tpu.ops.conv2d import (CENSUS, conv3x3_eligible,
+                                                 conv3x3_fused,
+                                                 conv3x3_fused_eligible,
                                                  conv3x3_nhwc)
         c_in = x.shape[-1]
         if os.environ.get("PANDORA_CONV_CENSUS"):
@@ -501,16 +530,31 @@ class _SConv3x3(nn.Module):
             else nn.initializers.lecun_normal(),
             (3, 3, c_in, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # fast (eval-only): the Pallas kernel has no VJP — training paths
-        # (deterministic=False) keep the differentiable XLA conv
+        # fast (eval-only): the Pallas kernels have no VJP — training paths
+        # (deterministic=False) keep the differentiable XLA conv.
+        # prologue=(a, b): caller-folded GN(+emb)+SiLU, fused in-kernel when
+        # routed; residual: the ResBlock skip, added in the kernel epilogue.
+        if (fast and _on_tpu()
+                and conv3x3_fused_eligible(x.shape[1], x.shape[2], c_in,
+                                           self.features)):
+            a, sh = prologue if prologue is not None else (None, None)
+            return conv3x3_fused(x, jnp.asarray(kernel), jnp.asarray(bias),
+                                 scale=a, shift=sh, residual=residual)
+        if prologue is not None:  # un-fuse: affine+silu on XLA
+            a, sh = prologue
+            xf = x.astype(jnp.float32) * a[:, None, None, :] \
+                + sh[:, None, None, :]
+            x = (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
         if (fast and _on_tpu()
                 and conv3x3_eligible(x.shape[1], x.shape[2], c_in,
                                      self.features)):
-            return conv3x3_nhwc(x, jnp.asarray(kernel), jnp.asarray(bias))
+            y = conv3x3_nhwc(x, jnp.asarray(kernel), jnp.asarray(bias))
+            return y if residual is None else y + residual.astype(y.dtype)
         y = jax.lax.conv_general_dilated(
             x, jnp.asarray(kernel, self.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + jnp.asarray(bias, y.dtype)
+        y = y + jnp.asarray(bias, y.dtype)
+        return y if residual is None else y + residual.astype(y.dtype)
 
 
 class _TConv3(nn.Module):
@@ -594,21 +638,46 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, batch_size: int, deterministic: bool = True):
+        from open_pandora_tpu.ops.attention import _on_tpu
+        from open_pandora_tpu.ops.conv2d import conv3x3_fused_eligible
+
+        def fused_route(c_in, c_out):
+            # eval-only (kernel has no VJP); dropout is identity there, so
+            # GN+SiLU(+emb)+conv(+skip) collapse into one kernel call
+            return (deterministic and _on_tpu()
+                    and conv3x3_fused_eligible(x.shape[1], x.shape[2],
+                                               c_in, c_out))
+
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x, silu=True)
-        h = _SConv3x3(self.out_ch, dtype=self.dtype,
-                      name="in_conv")(h, fast=deterministic)
+        if fused_route(in_ch, self.out_ch):
+            pro = GroupNorm32(name="in_norm")(x, silu=True, stats_only=True)
+            h = _SConv3x3(self.out_ch, dtype=self.dtype, name="in_conv")(
+                x, fast=True, prologue=pro)
+        else:
+            h = GroupNorm32(name="in_norm")(x, silu=True)
+            h = _SConv3x3(self.out_ch, dtype=self.dtype,
+                          name="in_conv")(h, fast=deterministic)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_layers_1")(
             jax.nn.silu(emb))
-        h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="out_norm")(h, silu=True)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _SConv3x3(self.out_ch, zero=True, dtype=self.dtype,
-                      name="out_conv")(h, fast=deterministic)
-        if in_ch != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
-                        name="skip_connection")(x)
-        h = x + h
+        if fused_route(self.out_ch, self.out_ch):
+            skip = (x if in_ch == self.out_ch else
+                    nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                            name="skip_connection")(x))
+            pro = GroupNorm32(name="out_norm")(
+                h, silu=True, stats_only=True, extra=e.astype(jnp.float32))
+            h = _SConv3x3(self.out_ch, zero=True, dtype=self.dtype,
+                          name="out_conv")(h, fast=True, prologue=pro,
+                                           residual=skip)
+        else:
+            h = h + e[:, None, None, :].astype(h.dtype)
+            h = GroupNorm32(name="out_norm")(h, silu=True)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = _SConv3x3(self.out_ch, zero=True, dtype=self.dtype,
+                          name="out_conv")(h, fast=deterministic)
+            if in_ch != self.out_ch:
+                x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                            name="skip_connection")(x)
+            h = x + h
         if self.use_temporal_conv:
             bt, hh, ww, c = h.shape
             t = bt // batch_size

@@ -138,6 +138,233 @@ def conv3x3_eligible(h: int, w: int, c: int, co: int) -> bool:
     return _split_point(h, w, c, co) is not None
 
 
+# ---------------------------------------------------------------------------
+# v2: fused direct conv — in-kernel padding + GN/SiLU prologue + residual
+# epilogue (the round-4 measured loss modes of v1, PERF.md: the out-of-kernel
+# jnp.pad cost a full-activation HBM round-trip per site, and routing away
+# from XLA's conv op forfeited its prologue/epilogue fusions).
+#
+# Design: x arrives UNPADDED and stays in HBM (memory_space=ANY); the kernel
+# DMAs each batch row once into the interior of a zero-bordered VMEM scratch
+# slab, applies the folded GroupNorm(+emb)+SiLU prologue in place
+# (silu(x * a[b] + s[b]) with a/s per-(batch, channel) fp32 computed outside
+# from GN statistics — a tiny reduction), runs the nine accumulated MXU dots
+# per output strip, and adds conv bias + the ResBlock skip tensor before the
+# single output store. HBM traffic per site: read x once, read skip once,
+# write out once — the same traffic as XLA's fully-fused conv, with the
+# kernel's higher MXU occupancy.
+# ---------------------------------------------------------------------------
+
+
+def _fused_stack_bytes(h: int, w: int, c: int, co_blk: int, hs: int,
+                       co: int, residual: bool) -> int:
+    """Modeled VMEM for one fused program: persistent padded slab + weights
+    (double-buffered when the co grid revisits) + per-strip out/residual
+    blocks (pipelined x2) + fp32 accumulator + shifted-slice and prologue
+    fp32 temporaries. Lane padding to 128 applied to every C/Co buffer."""
+    cp = _ceil_to(c, _LANES)
+    cop = _ceil_to(co_blk, _LANES)
+    slab = (h + 2) * (w + 2) * cp * 2
+    wgt = 9 * cp * cop * 2 * 2
+    out = hs * w * cop * 2 * 2
+    res = hs * w * cop * 2 * 2 if residual else 0
+    acc = hs * w * cop * 4
+    slice_tmp = 2 * hs * w * cp * 2
+    prologue_tmp = hs * w * cp * 4
+    return slab + wgt + out + res + acc + slice_tmp + prologue_tmp
+
+
+_FUSED_BUDGET = 40.0 * 2**20
+
+
+def _choose_blocks_fused(h: int, w: int, c: int, co: int,
+                         residual: bool = True):
+    """(co_blk, n_strips) fitting the fused budget, or None. The strip count
+    is a grid dimension here (output rows are blocked), so hs only has to
+    divide h; co blocks stay lane-exact divisors (or co itself)."""
+    co_cands = sorted(
+        {d for d in range(_LANES, co + 1, _LANES) if co % d == 0} | {co},
+        reverse=True)
+    for co_blk in co_cands:
+        for n_strips in (1, 2, 4, 8, 16):
+            if h % n_strips:
+                continue
+            if _fused_stack_bytes(h, w, c, co_blk, h // n_strips, co,
+                                  residual) <= _FUSED_BUDGET:
+                return co_blk, n_strips
+    return None
+
+
+def _fused_split_point(h: int, w: int, c: int, co: int):
+    """C-split for slabs whose fused form does not fit whole (the 960-ch
+    hi-res decoder concat convs): conv(x[..,:p]) + conv(x[..,p:])."""
+    for p in (640, 512, 384, c // 2):
+        q = c - p
+        if not (0 < p < c) or p % 8 or q % 8:
+            continue
+        if (_choose_blocks_fused(h, w, p, co)
+                and _choose_blocks_fused(h, w, q, co, residual=False)):
+            return p
+    return None
+
+
+def conv3x3_fused_eligible(h: int, w: int, c: int, co: int) -> bool:
+    """Routing gate for the fused kernel (PANDORA_ENABLE_PCONV2; same
+    PANDORA_PCONV_ONLY bisection grammar as v1)."""
+    if os.environ.get("PANDORA_DISABLE_PCONV"):
+        return False
+    only = os.environ.get("PANDORA_PCONV_ONLY")
+    if only:
+        if f"{h}x{w}x{c}x{co}" not in only.split(","):
+            return False
+    elif not os.environ.get("PANDORA_ENABLE_PCONV2"):
+        return False
+    if c % 8 or co % 8:
+        return False
+    if h * w < 512:
+        return False
+    if _choose_blocks_fused(h, w, c, co):
+        return True
+    return _fused_split_point(h, w, c, co) is not None
+
+
+def _fused_kernel(*refs, H, W, hs, S, co_blk, C, out_dtype, cdtype,
+                  has_prologue, has_residual, dma):
+    """refs: [x] w b [a sh] [res] o slab [sem]. Grid (B, S, J)."""
+    it = iter(refs)
+    x_ref = next(it)
+    w_ref = next(it)
+    b_ref = next(it)
+    a_ref = next(it) if has_prologue else None
+    s_ref = next(it) if has_prologue else None
+    r_ref = next(it) if has_residual else None
+    o_ref = next(it)
+    slab = next(it)
+    sem = next(it) if dma else None
+
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(s == 0, j == 0))
+    def _build_slab():
+        if dma:
+            cp = pltpu.make_async_copy(
+                x_ref.at[i], slab.at[pl.ds(1, H), pl.ds(1, W), :], sem)
+            cp.start()
+            cp.wait()
+        else:  # interpret / no-DMA twin: x as a regular (1,H,W,C) block
+            slab[pl.ds(1, H), pl.ds(1, W), :] = x_ref[0]
+        zrow = jnp.zeros((1, W + 2, C), cdtype)
+        zcol = jnp.zeros((H + 2, 1, C), cdtype)
+        slab[0:1, :, :] = zrow
+        slab[H + 1:H + 2, :, :] = zrow
+        slab[:, 0:1, :] = zcol
+        slab[:, W + 1:W + 2, :] = zcol
+        if has_prologue:
+            a = a_ref[0].astype(jnp.float32)
+            sh = s_ref[0].astype(jnp.float32)
+            for st in range(S):
+                r0 = 1 + st * hs
+                blk = slab[r0:r0 + hs, 1:W + 1, :].astype(jnp.float32)
+                blk = blk * a + sh
+                blk = blk * jax.nn.sigmoid(blk)
+                slab[r0:r0 + hs, 1:W + 1, :] = blk.astype(cdtype)
+
+    soff = s * hs
+    acc = jnp.zeros((hs * W, co_blk), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            xs = slab[pl.ds(soff + ky, hs), pl.ds(kx, W), :].reshape(
+                hs * W, -1)
+            acc = acc + jax.lax.dot(xs, w_ref[ky, kx],
+                                    preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if has_residual:
+        acc = acc + r_ref[0].reshape(hs * W, co_blk).astype(jnp.float32)
+    o_ref[0] = acc.reshape(hs, W, co_blk).astype(out_dtype)
+
+
+def conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
+                  b: Optional[jnp.ndarray] = None,
+                  scale: Optional[jnp.ndarray] = None,
+                  shift: Optional[jnp.ndarray] = None,
+                  residual: Optional[jnp.ndarray] = None,
+                  dma: bool = True) -> jnp.ndarray:
+    """Fused ResBlock conv: out = conv3x3(silu(x*scale+shift)) + bias
+    + residual, stride 1, same padding, fp32 accumulation.
+
+    x (B,H,W,C) UNPADDED; scale/shift (B,C) fp32 — the GroupNorm(+emb) fold
+    (normalized = x*(gamma/sigma) + ((e-mu)*gamma/sigma + beta)); residual
+    (B,H,W,Co) — the ResBlock skip. scale=None skips the prologue entirely
+    (plain in-kernel-padded conv). `dma=False` uses a regular input block
+    instead of the manual HBM copy (interpret-mode tests)."""
+    B, H, W, C = x.shape
+    assert w.shape[:3] == (3, 3, C), w.shape
+    Co = w.shape[-1]
+    has_prologue = scale is not None
+    chosen = _choose_blocks_fused(H, W, C, Co, residual is not None)
+    if chosen is None:
+        p = _fused_split_point(H, W, C, Co)
+        assert p is not None, (
+            f"conv3x3_fused: slab {(H, W, C)} routes neither whole nor "
+            "split; route via conv3x3_fused_eligible")
+        return (conv3x3_fused(x[..., :p], w[:, :, :p], b,
+                              None if scale is None else scale[:, :p],
+                              None if shift is None else shift[:, :p],
+                              residual, dma=dma)
+                + conv3x3_fused(x[..., p:], w[:, :, p:], None,
+                                None if scale is None else scale[:, p:],
+                                None if shift is None else shift[:, p:],
+                                None, dma=dma))
+    co_blk, S = chosen
+    hs = H // S
+
+    wb = w.astype(x.dtype)
+    bias = (b if b is not None else jnp.zeros((Co,), jnp.float32))
+    bias2d = bias.reshape(1, Co).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _fused_kernel, H=H, W=W, hs=hs, S=S, co_blk=co_blk, C=C,
+        out_dtype=x.dtype, cdtype=x.dtype, has_prologue=has_prologue,
+        has_residual=residual is not None, dma=dma)
+
+    if dma:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        x_spec = pl.BlockSpec((1, H, W, C), lambda i, s, j: (i, 0, 0, 0))
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((3, 3, C, co_blk), lambda i, s, j: (0, 0, 0, j)),
+        pl.BlockSpec((1, co_blk), lambda i, s, j: (0, j)),
+    ]
+    args = [x, wb, bias2d]
+    if has_prologue:
+        assert scale.shape == (B, C) and shift.shape == (B, C)
+        in_specs += [pl.BlockSpec((1, C), lambda i, s, j: (i, 0)),
+                     pl.BlockSpec((1, C), lambda i, s, j: (i, 0))]
+        args += [scale.astype(jnp.float32), shift.astype(jnp.float32)]
+    if residual is not None:
+        assert residual.shape == (B, H, W, Co), residual.shape
+        in_specs.append(
+            pl.BlockSpec((1, hs, W, co_blk), lambda i, s, j: (i, s, 0, j)))
+        args.append(residual.astype(x.dtype))
+
+    scratch = [pltpu.VMEM((H + 2, W + 2, C), x.dtype)]
+    if dma:
+        scratch.append(pltpu.SemaphoreType.DMA)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S, Co // co_blk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hs, W, co_blk),
+                               lambda i, s, j: (i, s, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+
+
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, H, W, co_blk, n_strips, out_dtype):
     hs = H // n_strips
     for s in range(n_strips):

@@ -138,3 +138,158 @@ def test_env_gate(monkeypatch):
     monkeypatch.setenv("PANDORA_PCONV_ONLY", "40x64x320x320")
     assert c2.conv3x3_eligible(40, 64, 320, 320)
     assert not c2.conv3x3_eligible(20, 32, 640, 640)
+
+
+# ---------------------------------------------------------------------------
+# v2 fused kernel: in-kernel pad + GN/SiLU prologue + bias/residual epilogue
+# ---------------------------------------------------------------------------
+
+
+def _xla_fused_ref(x, w, b, a, s, res):
+    """silu(x*a+s) -> conv -> +bias (+res), all fp32."""
+    xf = x.astype(jnp.float32)
+    if a is not None:
+        xf = xf * a[:, None, None, :] + s[:, None, None, :]
+        xf = xf * jax.nn.sigmoid(xf)
+    y = jax.lax.conv_general_dilated(
+        xf, w.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b
+    return y if res is None else y + res.astype(jnp.float32)
+
+
+@pytest.mark.parametrize("dma", [False, True])
+@pytest.mark.parametrize("with_pro,with_res", [
+    (False, False), (True, False), (True, True), (False, True)])
+def test_conv3x3_fused_matches_xla(_interpret_pallas, dma, with_pro,
+                                   with_res):
+    B, H, W, C, Co = 2, 8, 16, 32, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (Co,), jnp.float32)
+    a = (jax.random.normal(ks[3], (B, C), jnp.float32) * 0.3 + 1.0
+         if with_pro else None)
+    s = (jax.random.normal(ks[4], (B, C), jnp.float32) * 0.2
+         if with_pro else None)
+    res = (jax.random.normal(ks[5], (B, H, W, Co), jnp.float32)
+           if with_res else None)
+    out = c2.conv3x3_fused(x, w, b, scale=a, shift=s, residual=res, dma=dma)
+    ref = _xla_fused_ref(x, w, b, a, s, res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_fused_strips_and_coblocks(_interpret_pallas, monkeypatch):
+    """Multi-strip grid + multiple co blocks: slab reuse across (s, j)
+    revisits and strip-boundary halo rows must stay exact."""
+    monkeypatch.setattr(c2, "_FUSED_BUDGET", 800 * 2**10)
+    B, H, W, C, Co = 1, 16, 8, 16, 256
+    blk = c2._choose_blocks_fused(H, W, C, Co)
+    assert blk is not None and blk[1] > 1 and Co // blk[0] > 1, blk
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    a = jax.random.normal(ks[2], (B, C), jnp.float32) * 0.3 + 1.0
+    s = jax.random.normal(ks[3], (B, C), jnp.float32) * 0.2
+    out = c2.conv3x3_fused(x, w, None, scale=a, shift=s, dma=False)
+    ref = _xla_fused_ref(x, w, jnp.zeros((Co,)), a, s, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_fused_split(_interpret_pallas, monkeypatch):
+    """C-split path: prologue sliced per part, residual/bias on part 1."""
+    B, H, W, C, Co = 1, 16, 32, 48, 32
+    monkeypatch.setattr(c2, "_choose_blocks_fused",
+                        lambda h, w, c, co, residual=True:
+                        (None if c == C else
+                         c2._choose_blocks_fused.__wrapped__(
+                             h, w, c, co, residual)
+                         if hasattr(c2._choose_blocks_fused, "__wrapped__")
+                         else ((co, 1) if c < C else None)))
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, C, Co), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (Co,), jnp.float32)
+    a = jax.random.normal(ks[3], (B, C), jnp.float32) * 0.3 + 1.0
+    s = jax.random.normal(ks[4], (B, C), jnp.float32) * 0.2
+    res = jax.random.normal(ks[5], (B, H, W, Co), jnp.float32)
+    assert c2._fused_split_point(H, W, C, Co) is not None
+    out = c2.conv3x3_fused(x, w, b, scale=a, shift=s, residual=res,
+                           dma=False)
+    ref = _xla_fused_ref(x, w, b, a, s, res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_eligibility_product_shapes(monkeypatch):
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV2", "1")
+    # every ResBlock conv slab at both resolutions must route (whole or
+    # split); the VMEM model is the arbiter, preflight the ground truth
+    for (h, w, c, co) in [(40, 64, 320, 320), (20, 32, 640, 640),
+                          (40, 64, 640, 320), (40, 64, 960, 320),
+                          (36, 64, 960, 640), (72, 128, 320, 320),
+                          (72, 128, 640, 320), (72, 128, 960, 320),
+                          (72, 128, 8, 320)]:
+        assert c2.conv3x3_fused_eligible(h, w, c, co), (h, w, c, co)
+    # tiny levels stay on XLA
+    assert not c2.conv3x3_fused_eligible(10, 16, 1280, 1280)
+    # default off until the in-program A/B is measured
+    monkeypatch.delenv("PANDORA_ENABLE_PCONV2")
+    assert not c2.conv3x3_fused_eligible(40, 64, 320, 320)
+
+
+def test_resblock_fused_route_matches_baseline(monkeypatch):
+    """ResBlock eval with the fused conv route (GN-stats fold + in-kernel
+    prologue/epilogue) vs the unfused GN->conv->+emb->GN->conv->+skip
+    composition: same params, same inputs, fp32."""
+    import flax.linen  # noqa: F401  (import order)
+
+    from open_pandora_tpu.models import unet3d as u3
+    import importlib
+    att = importlib.import_module("open_pandora_tpu.ops.attention")
+
+    B, H, W, C, Co = 2, 16, 32, 64, 64
+    block = u3.ResBlock(out_ch=Co, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, 48), jnp.float32)
+    params = block.init(jax.random.PRNGKey(2), x, emb, batch_size=B)
+    # perturb out_conv away from zero-init so the residual epilogue is live
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 if p.ndim == 4 else p, params)
+
+    ref = block.apply(params, x, emb, batch_size=B)
+
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV2", "1")
+    monkeypatch.setattr(att, "_on_tpu", lambda: True)
+    monkeypatch.setattr(c2.pl, "pallas_call",
+                        functools.partial(c2.pl.pallas_call, interpret=True))
+    assert c2.conv3x3_fused_eligible(H, W, C, Co)
+    out = block.apply(params, x, emb, batch_size=B)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_resblock_fused_route_channel_change(monkeypatch):
+    """in_ch != out_ch: the 1x1 skip_connection feeds the kernel residual."""
+    from open_pandora_tpu.models import unet3d as u3
+    import importlib
+    att = importlib.import_module("open_pandora_tpu.ops.attention")
+
+    B, H, W, C, Co = 1, 16, 32, 32, 64
+    block = u3.ResBlock(out_ch=Co, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, H, W, C), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (B, 48), jnp.float32)
+    params = block.init(jax.random.PRNGKey(5), x, emb, batch_size=B)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 if p.ndim == 4 else p, params)
+    ref = block.apply(params, x, emb, batch_size=B)
+
+    monkeypatch.setenv("PANDORA_ENABLE_PCONV2", "1")
+    monkeypatch.setattr(att, "_on_tpu", lambda: True)
+    monkeypatch.setattr(c2.pl, "pallas_call",
+                        functools.partial(c2.pl.pallas_call, interpret=True))
+    out = block.apply(params, x, emb, batch_size=B)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
