@@ -262,8 +262,8 @@ def _fused_kernel(*refs, H, W, hs, S, co_blk, C, out_dtype, cdtype,
         slab[:, 0:1, :] = zcol
         slab[:, W + 1:W + 2, :] = zcol
         if has_prologue:
-            a = a_ref[0].astype(jnp.float32)
-            sh = s_ref[0].astype(jnp.float32)
+            a = a_ref[0, 0].astype(jnp.float32)
+            sh = s_ref[0, 0].astype(jnp.float32)
             for st in range(S):
                 r0 = 1 + st * hs
                 blk = slab[r0:r0 + hs, 1:W + 1, :].astype(jnp.float32)
@@ -341,9 +341,15 @@ def conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
     args = [x, wb, bias2d]
     if has_prologue:
         assert scale.shape == (B, C) and shift.shape == (B, C)
-        in_specs += [pl.BlockSpec((1, C), lambda i, s, j: (i, 0)),
-                     pl.BlockSpec((1, C), lambda i, s, j: (i, 0))]
-        args += [scale.astype(jnp.float32), shift.astype(jnp.float32)]
+        # (B, 1, C) with block (1, 1, C): Mosaic requires the block's
+        # second-to-last dim to divide by 8 or equal the array's — (1, C)
+        # against array dims (1, C) satisfies it; a (1, C) block over a
+        # (B, C) array does not (B=32 batch rows; caught on real-chip
+        # lowering 2026-08-19, invisible to interpret-mode tests).
+        in_specs += [pl.BlockSpec((1, 1, C), lambda i, s, j: (i, 0, 0)),
+                     pl.BlockSpec((1, 1, C), lambda i, s, j: (i, 0, 0))]
+        args += [scale.astype(jnp.float32)[:, None],
+                 shift.astype(jnp.float32)[:, None]]
     if residual is not None:
         assert residual.shape == (B, H, W, Co), residual.shape
         in_specs.append(

@@ -240,6 +240,27 @@ def test_fused_eligibility_product_shapes(monkeypatch):
     assert not c2.conv3x3_fused_eligible(40, 64, 320, 320)
 
 
+def test_conv3x3_fused_tpu_mosaic_lowering():
+    """Full Mosaic lowering (lowering_platforms=('tpu',)) at the product
+    B=32 L0 shape. Interpret mode skips Pallas' block-mapping legality
+    checks — a (1, C) block over the (B, C) scale/shift arrays lowered
+    fine interpreted but was rejected on the real chip (second-to-last
+    block dim must divide 8 or equal the array dim; 2026-08-19). This
+    runs the real lowering on the CPU host and catches that class."""
+    B, H, W, C, Co = 32, 40, 64, 320, 320
+    x = jax.ShapeDtypeStruct((B, H, W, C), jnp.bfloat16)
+    w = jax.ShapeDtypeStruct((3, 3, C, Co), jnp.float32)
+    b = jax.ShapeDtypeStruct((Co,), jnp.float32)
+    a = jax.ShapeDtypeStruct((B, C), jnp.float32)
+    s = jax.ShapeDtypeStruct((B, C), jnp.float32)
+    r = jax.ShapeDtypeStruct((B, H, W, Co), jnp.bfloat16)
+
+    def f(x, w, b, a, s, r):
+        return c2.conv3x3_fused(x, w, b, scale=a, shift=s, residual=r)
+
+    jax.jit(f).trace(x, w, b, a, s, r).lower(lowering_platforms=("tpu",))
+
+
 def test_resblock_fused_route_matches_baseline(monkeypatch):
     """ResBlock eval with the fused conv route (GN-stats fold + in-kernel
     prologue/epilogue) vs the unfused GN->conv->+emb->GN->conv->+skip
