@@ -290,15 +290,22 @@ def conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
                   scale: Optional[jnp.ndarray] = None,
                   shift: Optional[jnp.ndarray] = None,
                   residual: Optional[jnp.ndarray] = None,
-                  dma: bool = True) -> jnp.ndarray:
+                  dma: Optional[bool] = None) -> jnp.ndarray:
     """Fused ResBlock conv: out = conv3x3(silu(x*scale+shift)) + bias
     + residual, stride 1, same padding, fp32 accumulation.
 
     x (B,H,W,C) UNPADDED; scale/shift (B,C) fp32 — the GroupNorm(+emb) fold
     (normalized = x*(gamma/sigma) + ((e-mu)*gamma/sigma + beta)); residual
     (B,H,W,Co) — the ResBlock skip. scale=None skips the prologue entirely
-    (plain in-kernel-padded conv). `dma=False` uses a regular input block
-    instead of the manual HBM copy (interpret-mode tests)."""
+    (plain in-kernel-padded conv). `dma` selects the slab fill: the manual
+    HBM->VMEM async copy is only legal when the lane dim is tile-exact
+    (Mosaic rejects memref slices whose last dim isn't 128-aligned against
+    the padded HBM tiling — the UNet's C=8 input conv and the C=320 L0
+    slabs, real-chip 2026-08-19), so dma=None auto-selects it for
+    C % 128 == 0 and falls back to a regular pipelined input block + a
+    VMEM->VMEM interior copy elsewhere (no extra HBM traffic either way:
+    the block index only changes with the batch grid dim, so the pipeline
+    fetches x once per row)."""
     B, H, W, C = x.shape
     assert w.shape[:3] == (3, 3, C), w.shape
     Co = w.shape[-1]
@@ -317,6 +324,8 @@ def conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
                                 None if scale is None else scale[:, p:],
                                 None if shift is None else shift[:, p:],
                                 None, dma=dma))
+    if dma is None:  # resolved per leaf call: the C-split parts differ in C
+        dma = C % _LANES == 0
     co_blk, S = chosen
     hs = H // S
 

@@ -240,25 +240,37 @@ def test_fused_eligibility_product_shapes(monkeypatch):
     assert not c2.conv3x3_fused_eligible(40, 64, 320, 320)
 
 
-def test_conv3x3_fused_tpu_mosaic_lowering():
-    """Full Mosaic lowering (lowering_platforms=('tpu',)) at the product
-    B=32 L0 shape. Interpret mode skips Pallas' block-mapping legality
-    checks — a (1, C) block over the (B, C) scale/shift arrays lowered
-    fine interpreted but was rejected on the real chip (second-to-last
-    block dim must divide 8 or equal the array dim; 2026-08-19). This
-    runs the real lowering on the CPU host and catches that class."""
-    B, H, W, C, Co = 32, 40, 64, 320, 320
+@pytest.mark.parametrize("shape,pro", [
+    ((32, 40, 64, 320, 320), True),   # L0 res: C%128!=0 -> block-fill path
+    ((32, 40, 64, 8, 320), False),    # UNet input conv: tiny C, no prologue
+    ((32, 20, 32, 640, 640), True),   # L1 res: lane-exact C -> manual DMA
+])
+def test_conv3x3_fused_tpu_mosaic_lowering(shape, pro):
+    """Full Mosaic lowering (lowering_platforms=('tpu',)) at product B=32
+    shapes. Interpret mode skips Pallas'/Mosaic's legality checks — two
+    real-chip rejects slipped through it (2026-08-19): a (1, C) block over
+    the (B, C) scale/shift arrays (second-to-last block dim must divide 8
+    or equal the array dim), and manual HBM slices whose lane dim is not
+    128-aligned against the padded tiling (C=8/C=320 slabs). This runs the
+    real lowering on the CPU host and catches both classes pre-chip."""
+    B, H, W, C, Co = shape
     x = jax.ShapeDtypeStruct((B, H, W, C), jnp.bfloat16)
     w = jax.ShapeDtypeStruct((3, 3, C, Co), jnp.float32)
     b = jax.ShapeDtypeStruct((Co,), jnp.float32)
-    a = jax.ShapeDtypeStruct((B, C), jnp.float32)
-    s = jax.ShapeDtypeStruct((B, C), jnp.float32)
+    a = jax.ShapeDtypeStruct((B, C), jnp.float32) if pro else None
+    s = jax.ShapeDtypeStruct((B, C), jnp.float32) if pro else None
     r = jax.ShapeDtypeStruct((B, H, W, Co), jnp.bfloat16)
 
     def f(x, w, b, a, s, r):
         return c2.conv3x3_fused(x, w, b, scale=a, shift=s, residual=r)
 
-    jax.jit(f).trace(x, w, b, a, s, r).lower(lowering_platforms=("tpu",))
+    def f_nopro(x, w, b, r):
+        return c2.conv3x3_fused(x, w, b, residual=r)
+
+    if pro:
+        jax.jit(f).trace(x, w, b, a, s, r).lower(lowering_platforms=("tpu",))
+    else:
+        jax.jit(f_nopro).trace(x, w, b, r).lower(lowering_platforms=("tpu",))
 
 
 def test_resblock_fused_route_matches_baseline(monkeypatch):
