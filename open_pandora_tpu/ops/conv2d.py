@@ -164,7 +164,7 @@ def _fused_stack_bytes(h: int, w: int, c: int, co_blk: int, hs: int,
     fp32 temporaries. Lane padding to 128 applied to every C/Co buffer."""
     cp = _ceil_to(c, _LANES)
     cop = _ceil_to(co_blk, _LANES)
-    slab = (h + 2) * (w + 2) * cp * 2
+    slab = (h + 2) * _ceil_to(w + 9, 8) * cp * 2  # interior at column 8
     wgt = 9 * cp * cop * 2 * 2
     out = hs * w * cop * 2 * 2
     res = hs * w * cop * 2 * 2 if residual else 0
@@ -219,13 +219,25 @@ def conv3x3_fused_eligible(h: int, w: int, c: int, co: int) -> bool:
             return False
     elif not os.environ.get("PANDORA_ENABLE_PCONV2"):
         return False
-    if c % 8 or co % 8:
-        return False
+    if c % 8 or co % 8 or w % 8:
+        return False  # w%8: interior store extents must be sublane-exact
     if h * w < 512:
         return False
     if _choose_blocks_fused(h, w, c, co):
         return True
     return _fused_split_point(h, w, c, co) is not None
+
+
+# Interior column offset inside the slab. Mosaic requires STORE / DMA-target
+# slice offsets in the sublane dim to be tile-aligned (8); offset-1 interior
+# writes and the W+1 right-border store were rejected on the real chip
+# (2026-08-19: "Failed to prove that a tile index in dimension 1 is divisible
+# by the tiling (8)"). Unaligned LOADS lower fine (the v1 kernel's kx-shifted
+# taps measured green on-chip), so the interior lives at column 8 and the
+# nine taps read at offsets 7/8/9; borders are zero from one full-slab
+# (aligned) store, refreshed only when a revisited interior write could have
+# dirtied nothing — i.e. once, at the first grid step.
+_PADL = 8
 
 
 def _fused_kernel(*refs, H, W, hs, S, co_blk, C, out_dtype, cdtype,
@@ -245,38 +257,40 @@ def _fused_kernel(*refs, H, W, hs, S, co_blk, C, out_dtype, cdtype,
     i = pl.program_id(0)
     s = pl.program_id(1)
     j = pl.program_id(2)
+    Wp = slab.shape[1]
+
+    @pl.when(jnp.logical_and(i == 0, jnp.logical_and(s == 0, j == 0)))
+    def _zero_slab():
+        # borders stay zero for the whole grid: every later write targets
+        # the interior only, and the interior is fully rewritten per row
+        slab[...] = jnp.zeros((H + 2, Wp, C), cdtype)
 
     @pl.when(jnp.logical_and(s == 0, j == 0))
-    def _build_slab():
+    def _fill_interior():
         if dma:
             cp = pltpu.make_async_copy(
-                x_ref.at[i], slab.at[pl.ds(1, H), pl.ds(1, W), :], sem)
+                x_ref.at[i], slab.at[pl.ds(1, H), pl.ds(_PADL, W), :], sem)
             cp.start()
             cp.wait()
-        else:  # interpret / no-DMA twin: x as a regular (1,H,W,C) block
-            slab[pl.ds(1, H), pl.ds(1, W), :] = x_ref[0]
-        zrow = jnp.zeros((1, W + 2, C), cdtype)
-        zcol = jnp.zeros((H + 2, 1, C), cdtype)
-        slab[0:1, :, :] = zrow
-        slab[H + 1:H + 2, :, :] = zrow
-        slab[:, 0:1, :] = zcol
-        slab[:, W + 1:W + 2, :] = zcol
+        else:  # regular pipelined (1,H,W,C) block: VMEM interior copy
+            slab[pl.ds(1, H), pl.ds(_PADL, W), :] = x_ref[0]
         if has_prologue:
             a = a_ref[0, 0].astype(jnp.float32)
             sh = s_ref[0, 0].astype(jnp.float32)
             for st in range(S):
                 r0 = 1 + st * hs
-                blk = slab[r0:r0 + hs, 1:W + 1, :].astype(jnp.float32)
+                blk = slab[r0:r0 + hs, _PADL:_PADL + W, :].astype(
+                    jnp.float32)
                 blk = blk * a + sh
                 blk = blk * jax.nn.sigmoid(blk)
-                slab[r0:r0 + hs, 1:W + 1, :] = blk.astype(cdtype)
+                slab[r0:r0 + hs, _PADL:_PADL + W, :] = blk.astype(cdtype)
 
     soff = s * hs
     acc = jnp.zeros((hs * W, co_blk), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            xs = slab[pl.ds(soff + ky, hs), pl.ds(kx, W), :].reshape(
-                hs * W, -1)
+            xs = slab[pl.ds(soff + ky, hs),
+                      pl.ds(_PADL - 1 + kx, W), :].reshape(hs * W, -1)
             acc = acc + jax.lax.dot(xs, w_ref[ky, kx],
                                     preferred_element_type=jnp.float32)
     acc = acc + b_ref[0].astype(jnp.float32)
@@ -365,7 +379,7 @@ def conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
             pl.BlockSpec((1, hs, W, co_blk), lambda i, s, j: (i, s, 0, j)))
         args.append(residual.astype(x.dtype))
 
-    scratch = [pltpu.VMEM((H + 2, W + 2, C), x.dtype)]
+    scratch = [pltpu.VMEM((H + 2, _PADL + W + 1, C), x.dtype)]
     if dma:
         scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
