@@ -353,7 +353,7 @@ def conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
         has_residual=residual is not None, dma=dma)
 
     if dma:
-        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         x_spec = pl.BlockSpec((1, H, W, C), lambda i, s, j: (i, 0, 0, 0))
     in_specs = [
