@@ -30,12 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from open_pandora_tpu.core import flags
+
 BASELINE_SEC_PER_CLIP = 60.0
 DDIM_STEPS = 50
 H, W = 320, 512
 T_FRAMES = 16
-BUDGET_S = float(os.environ.get("PANDORA_BENCH_BUDGET_S", "1500"))
-FAST = os.environ.get("PANDORA_BENCH_FAST", "") == "1"
+BUDGET_S = float(flags.flag("PANDORA_BENCH_BUDGET_S"))
+FAST = flags.flag("PANDORA_BENCH_FAST")
 
 _t_start = time.perf_counter()
 
@@ -112,15 +114,21 @@ def main():
     z = synth_fn(params, text_ctx, cond_images, cond_frames,
                  jax.random.PRNGKey(1))
     np.asarray(z[0, 0, 0, 0])
-    iters = 2
-    t0 = time.perf_counter()
+    # per-iteration host fetch (forces completion; ~70 ms tunnel floor is
+    # <1% of a 13 s phase) so ONE contended iteration can't silently skew
+    # the mean — the r4 lesson: 26.7 s was a transient-environment artifact
+    # invisible in a 2-iteration chained mean (PERF.md round-5 attribution)
+    iters = 3
     ci = cond_images
+    synth_iters = []
     for i in range(iters):
+        t0 = time.perf_counter()
         z = synth_fn(params, text_ctx, ci, cond_frames,
                      jax.random.PRNGKey(2 + i))
+        np.asarray(z[0, 0, 0, 0])
+        synth_iters.append(time.perf_counter() - t0)
         ci = ci + (z.sum() * 0).astype(ci.dtype)
-    np.asarray(z[0, 0, 0, 0])
-    t_synth = (time.perf_counter() - t0) / iters
+    t_synth = sum(synth_iters) / iters
 
     # --- phase 3: chunked VAE decode (perframe_ae equivalent; 8-frame
     # chunks at 320x512, pipeline/chat_wm.py:119-123)
@@ -140,8 +148,12 @@ def main():
     breakdown = {
         "conditioning_s": round(t_cond, 3),
         "sampling_ddim50_s": round(t_synth, 3),
+        "sampling_iters_s": [round(s, 3) for s in synth_iters],
+        "sampling_min_s": round(min(synth_iters), 3),
         "vae_decode_s": round(t_dec, 3),
         "frames_per_sec_per_chip": round(T_FRAMES / t_clip, 3),
+        # every recorded number names its routing (core/flags.py registry)
+        "flags": flags.snapshot(),
     }
     out = {
         "metric": "sec_per_full_2s_320x512_16f_ddim50_clip",
@@ -165,7 +177,14 @@ def main():
     # the LLM (model.py:1055), so this measures conditioning growth the
     # 5x-clip estimate could not. Gated on budget: rounds 2-5 each add a
     # new conditioning trace on a cold cache.
-    if not FAST and _elapsed() < BUDGET_S - 420:
+    if FAST:
+        breakdown["five_round_session_skipped"] = "PANDORA_BENCH_FAST=1"
+    elif _elapsed() >= BUDGET_S - 420:
+        # the r4 lesson: a silent budget skip looks like the phase doesn't
+        # exist — always leave a marker saying WHY the number is absent
+        breakdown["five_round_session_skipped"] = (
+            f"budget (elapsed {_elapsed():.0f}s of {BUDGET_S:.0f}s)")
+    else:
         try:
             from PIL import Image
 
@@ -191,7 +210,12 @@ def main():
 
     # --- config 3: 576x1024x16f DDIM-50 — ONE real synthesis call
     # (OpenCLIP encoders + Resampler + batched-CFG DDIM + chunked decode)
-    if not FAST and _elapsed() < BUDGET_S - 300:
+    if FAST:
+        breakdown["hires_576x1024_skipped"] = "PANDORA_BENCH_FAST=1"
+    elif _elapsed() >= BUDGET_S - 300:
+        breakdown["hires_576x1024_skipped"] = (
+            f"budget (elapsed {_elapsed():.0f}s of {BUDGET_S:.0f}s)")
+    else:
         try:
             # free the LLM weights + 320x512 intermediates: the hi-res
             # phase needs only the diffusion stack; HBM is tight at 576x1024

@@ -12,7 +12,8 @@ import os
 
 
 def enable_compilation_cache(default_dir: str = "/root/jax_cache") -> None:
-    path = os.environ.get("PANDORA_CACHE_DIR", default_dir)
+    from open_pandora_tpu.core import flags
+    path = flags.flag("PANDORA_CACHE_DIR") or default_dir
     if path.lower() in ("off", "none", ""):
         return
     import jax

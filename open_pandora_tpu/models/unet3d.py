@@ -42,6 +42,8 @@ from open_pandora_tpu.ops.packed_attention import (
     self_attention_packed)
 from open_pandora_tpu.ops.norms import layer_norm
 
+from open_pandora_tpu.core import flags
+
 
 class GroupNorm32(nn.Module):
     """GN(32) with fp32 stats. eps 1e-5 in ResBlocks (torch default,
@@ -316,9 +318,8 @@ class BasicTransformerBlock(nn.Module):
                     wv.astype(self.dtype), wo.astype(self.dtype),
                     bo.astype(self.dtype), g, b, heads=self.heads)
         else:
-            import os
             attn_cls = CrossAttention
-            if os.environ.get("PANDORA_FINE_REMAT") and not deterministic:
+            if flags.flag("PANDORA_FINE_REMAT") and not deterministic:
                 # nested remat for memory-critical training (576x1024):
                 # checkpoint each attention/FF separately so one block's
                 # backward never materializes attn1 + attn2 + FF
@@ -347,9 +348,8 @@ class BasicTransformerBlock(nn.Module):
         # at every UNet shape on v5e, and the in-program XLA FF is fast once
         # neighboring convs pin sane layouts (tconv+ff3d chain: 2.4 ms at
         # the level-0 temporal shape vs 21 ms for an isolated 3D FF).
-        import os
         ff_cls = (nn.remat(FeedForward, static_argnums=(2,))
-                  if os.environ.get("PANDORA_FINE_REMAT")
+                  if flags.flag("PANDORA_FINE_REMAT")
                   and not deterministic else FeedForward)
         x = x + ff_cls(dropout=self.dropout, dtype=self.dtype, name="ff")(
             LayerNorm(name="norm3")(x), deterministic)
@@ -385,9 +385,8 @@ def _fused_temporal_ok(t: int, dim: int, inner: int, dtype,
 
 
 def _fused_available() -> bool:
-    import os
 
-    if os.environ.get("PANDORA_DISABLE_FUSED"):
+    if flags.flag("PANDORA_DISABLE_FUSED"):
         return False
     # the axon platform registers TPU devices even when tests pin the CPU
     # default device — honor the default-device override first
@@ -451,7 +450,6 @@ class TemporalTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # x: (b, t, h, w, c)
-        import os
         b, t, h, w, c = x.shape
         inner = self.heads * self.dim_head
         x_in = x
@@ -464,7 +462,7 @@ class TemporalTransformer(nn.Module):
         native = (not self.causal and (h * w) % 32 == 0
                   and _fused_temporal_ok(t, inner, inner, self.dtype,
                                          deterministic)
-                  and not os.environ.get("PANDORA_DISABLE_TNATIVE"))
+                  and not flags.flag("PANDORA_DISABLE_TNATIVE"))
         if native:
             y = y.reshape(b, t, h * w, c)
         else:
@@ -514,7 +512,6 @@ class _SConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x, fast: bool = False, prologue=None, residual=None):
-        import os
 
         from open_pandora_tpu.ops.attention import _on_tpu
         from open_pandora_tpu.ops.conv2d import (CENSUS, conv3x3_eligible,
@@ -522,7 +519,7 @@ class _SConv3x3(nn.Module):
                                                  conv3x3_fused_eligible,
                                                  conv3x3_nhwc)
         c_in = x.shape[-1]
-        if os.environ.get("PANDORA_CONV_CENSUS"):
+        if flags.flag("PANDORA_CONV_CENSUS"):
             CENSUS.add((x.shape[1], x.shape[2], c_in, self.features))
         kernel = self.param(
             "kernel",
@@ -602,9 +599,8 @@ class TemporalConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        import os
         c = x.shape[-1]
-        use_dot = not os.environ.get("PANDORA_DISABLE_TCONV_DOT")
+        use_dot = not flags.flag("PANDORA_DISABLE_TCONV_DOT")
 
         def conv3(name, zero=False):
             if use_dot:

@@ -21,13 +21,14 @@ stack, never assume "lowers clean" means "compiles").
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from open_pandora_tpu.core import flags
 
 # The kernel's scoped-VMEM limit is raised from the 16 MB default via
 # CompilerParams: v5e has 128 MB of VMEM, this kernel reads its input
@@ -119,14 +120,14 @@ def conv3x3_eligible(h: int, w: int, c: int, co: int) -> bool:
     PANDORA_ENABLE_PCONV=1 or the PANDORA_PCONV_ONLY whitelist; the
     preflight keeps compiling every product shape so the kernel stays a
     live base for an in-kernel-pad + fused-epilogue round-5 iteration."""
-    if os.environ.get("PANDORA_DISABLE_PCONV"):
+    if flags.flag("PANDORA_DISABLE_PCONV"):
         return False
     # diagnostic bisection knob: comma-separated "HxWxCxCO" whitelist
-    only = os.environ.get("PANDORA_PCONV_ONLY")
+    only = flags.flag("PANDORA_PCONV_ONLY")
     if only:
         if f"{h}x{w}x{c}x{co}" not in only.split(","):
             return False
-    elif not os.environ.get("PANDORA_ENABLE_PCONV"):
+    elif not flags.flag("PANDORA_ENABLE_PCONV"):
         return False
     if c % 8 or co % 8:
         return False
@@ -211,13 +212,13 @@ def _fused_split_point(h: int, w: int, c: int, co: int):
 def conv3x3_fused_eligible(h: int, w: int, c: int, co: int) -> bool:
     """Routing gate for the fused kernel (PANDORA_ENABLE_PCONV2; same
     PANDORA_PCONV_ONLY bisection grammar as v1)."""
-    if os.environ.get("PANDORA_DISABLE_PCONV"):
+    if flags.flag("PANDORA_DISABLE_PCONV"):
         return False
-    only = os.environ.get("PANDORA_PCONV_ONLY")
+    only = flags.flag("PANDORA_PCONV_ONLY")
     if only:
         if f"{h}x{w}x{c}x{co}" not in only.split(","):
             return False
-    elif not os.environ.get("PANDORA_ENABLE_PCONV2"):
+    elif not flags.flag("PANDORA_ENABLE_PCONV2"):
         return False
     if c % 8 or co % 8 or w % 8:
         return False  # w%8: interior store extents must be sublane-exact

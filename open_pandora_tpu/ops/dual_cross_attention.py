@@ -32,6 +32,8 @@ from jax.experimental import pallas as pl
 
 from open_pandora_tpu.ops.attention_xla import mha_xla
 
+from open_pandora_tpu.core import flags
+
 LANES = 128
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -151,8 +153,7 @@ def dual_cross_attention_eligible(n: int, mt: int, mi: int, d: int) -> bool:
     that a kernel beats XLA's fused small-attention (same bar as flash).
     PANDORA_DISABLE_DUALCA provides the per-kernel A/B switch for perf
     sweeps (PANDORA_DISABLE_FUSED kills all fused paths at once)."""
-    import os
-    if os.environ.get("PANDORA_DISABLE_DUALCA"):
+    if flags.flag("PANDORA_DISABLE_DUALCA"):
         return False
     return (n >= 512 and d <= 128
             and _ceil_to(mt, LANES) <= 512 and _ceil_to(mi, LANES) <= 512)

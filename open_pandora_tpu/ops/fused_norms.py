@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from open_pandora_tpu.ops.norms import group_norm as _xla_group_norm
 
+from open_pandora_tpu.core import flags
+
 # bf16 in+out slabs (double-buffered) + per-chunk fp32 temps must fit
 # ~16 MB VMEM: ~8 bytes/element of slab + slack
 _MAX_SLAB_ELEMS = 3 * 2 ** 19
@@ -296,10 +298,9 @@ def _on_tpu() -> bool:
 
 
 def _fused_gn_available() -> bool:
-    import os
 
-    if os.environ.get("PANDORA_DISABLE_FUSED") or \
-            os.environ.get("PANDORA_DISABLE_FUSED_GN"):
+    if flags.flag("PANDORA_DISABLE_FUSED") or \
+            flags.flag("PANDORA_DISABLE_FUSED_GN"):
         return False
     return _on_tpu()
 
@@ -328,9 +329,8 @@ def fused_group_norm_silu(
     # the XLA fallback — the two grid passes re-read the slab from HBM and
     # lose the fusion XLA gets by folding the (upcast) stats into neighbor
     # ops. Kept for wider-slab regimes where fp32 round-trips dominate.
-    import os
     streaming = (basic and not resident
-                 and bool(os.environ.get("PANDORA_STREAMING_GN"))
+                 and flags.flag("PANDORA_STREAMING_GN")
                  and _stream_chunk(L, C) * C >= _STREAM_CHUNK_ELEMS // 8)
     if force:  # tests: True -> resident kernel, "streaming" -> streaming
         ok = x.ndim >= 3 and C % num_groups == 0

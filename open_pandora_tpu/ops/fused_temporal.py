@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from open_pandora_tpu.core import flags
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -245,10 +247,9 @@ def ensure_fused_accuracy() -> None:
     PANDORA_DISABLE_FUSED so models/unet3d.py routes every temporal site
     through the XLA twin. No-op on CPU (kernel needs the TPU compiler)."""
     import logging
-    import os
 
     global _SELFCHECK_DONE
-    if _SELFCHECK_DONE or os.environ.get("PANDORA_DISABLE_FUSED"):
+    if _SELFCHECK_DONE or flags.flag("PANDORA_DISABLE_FUSED"):
         return
     _SELFCHECK_DONE = True
     try:
@@ -263,7 +264,7 @@ def ensure_fused_accuracy() -> None:
         log.info("fused temporal kernel selfcheck ok (%.2fx the bf16 twin's "
                  "error vs fp32)", ratio)
     else:
-        os.environ["PANDORA_DISABLE_FUSED"] = "1"
+        flags.set_flag("PANDORA_DISABLE_FUSED", True)
         log.warning("fused temporal kernel selfcheck FAILED (%.2fx the bf16 "
                     "twin's error vs fp32, limit %.1fx) — falling back to "
                     "the XLA twin", ratio, _SELFCHECK_RATIO)

@@ -40,6 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from open_pandora_tpu.ops.attention_xla import mha_xla
 
+from open_pandora_tpu.core import flags
+
 LANES = 128
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # q-block rows: the v5e flash sweep's winner at M=2560 (ops/flash_attention
@@ -290,10 +292,9 @@ def _packed_call(q: jnp.ndarray,
     np_ = _ceil_to(n, LANES)
     mps_padded = [_ceil_to(k.shape[1], LANES) for k, _, _ in streams]
     if block_q is None:
-        import os
-        env_bq = os.environ.get("PANDORA_PACKED_BLOCKQ")  # sweep override
+        env_bq = flags.flag("PANDORA_PACKED_BLOCKQ")  # sweep override
         if env_bq:  # bypasses the VMEM model — sweeps only
-            bq = min(int(env_bq), np_)
+            bq = min(env_bq, np_)
         else:
             bq = _choose_block_q(np_, heads, mps_padded)
             if bq is None:  # eligibility should have rejected; be safe
@@ -343,8 +344,7 @@ def packed_attention_eligible(n: int, ms: Sequence[int], heads: int,
     single-block score stack would overflow — e.g. hi-res level-1
     N=M=2304 @ 10 heads). q must be long enough that a kernel beats XLA's
     fused small-attn, and the head dim must pack into 128-lane groups."""
-    import os
-    if os.environ.get("PANDORA_DISABLE_PACKED"):
+    if flags.flag("PANDORA_DISABLE_PACKED"):
         return False
     if heads == 0 or hd % heads:
         return False
@@ -363,8 +363,7 @@ def packed_attention_eligible(n: int, ms: Sequence[int], heads: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _self_packed(q, k, v, heads, scale, block_q):
-    import os
-    force_multi = bool(os.environ.get("PANDORA_PACKED_FORCE_MULTI"))  # A/B
+    force_multi = flags.flag("PANDORA_PACKED_FORCE_MULTI")  # A/B
     if force_multi or not _single_block_fits(q.shape[1], (k.shape[1],),
                                              heads):
         return _packed_call_multi(q, k, v, heads, scale, block_q)

@@ -95,7 +95,8 @@ def load_clip_tokenizer(merges_path: Optional[str] = None,
     .txt[.gz]; otherwise falls back to the hash stand-in (smoke only)."""
     import os
 
-    candidates = [merges_path, os.environ.get("PANDORA_CLIP_BPE")]
+    from open_pandora_tpu.core import flags
+    candidates = [merges_path, flags.flag("PANDORA_CLIP_BPE")]
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     for name in ("bpe_simple_vocab_16e6.txt.gz", "bpe_simple_vocab_16e6.txt"):
         candidates.append(os.path.join(root, "assets", name))
