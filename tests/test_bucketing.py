@@ -22,6 +22,7 @@ def _bucketed(ids_row, bucket):
     return jnp.asarray(ids), jnp.asarray(mask)
 
 
+@pytest.mark.slow  # ~110 s incl. tiny_wm build (round-5 re-tier)
 def test_bucketed_conditioning_matches_exact(tiny_wm):
     wm, params = tiny_wm
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 28, 28, 3))

@@ -32,6 +32,7 @@ def test_ema_update_moves_toward_params():
     np.testing.assert_allclose(np.asarray(out2["w"]), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow  # ~100 s: jits a full train-step pair (round-5 re-tier)
 def test_ema_in_train_state():
     from open_pandora_tpu.core.config import TrainConfig
     from open_pandora_tpu.train.step import TrainState, make_finetune_step

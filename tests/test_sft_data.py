@@ -108,6 +108,7 @@ def test_example_and_collate(tmp_path):
     assert labels.shape[1] == 64 + 4
 
 
+@pytest.mark.slow  # ~18 s llm_step compile (round-5 re-tier)
 def test_sft_loss_on_collated_batch():
     import jax
 
@@ -125,6 +126,7 @@ def test_sft_loss_on_collated_batch():
     assert int(metrics["n_supervised"]) > 0
 
 
+@pytest.mark.slow  # ~20 s llm_step compile (round-5 re-tier)
 def test_sft_loss_pad_invariant():
     """Mid-sequence pads (mixed chunk lengths in one batch) must not change
     the loss: the batched loss equals the supervised-token-weighted mean of
