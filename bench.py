@@ -6,12 +6,24 @@ ChatWM round actually runs (reference model.py:1007-1048).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "breakdown"}.
 breakdown adds frames/sec/chip, the per-phase seconds, and — budget
 permitting — MEASURED acceptance configs 3 and 4 (one real 576x1024 DDIM-50
-synthesis call; one real 5-round ChatWM session with per-round conditioning
-growth; BASELINE.md targets table).
+synthesis call; one real 5-round ChatWM session, cold AND warm).
 
-Timing methodology: the axon tunnel's block_until_ready acks dispatch, not
-completion, so iterations are chained through a data dependency and each
-phase ends with a host fetch (see memory: axon-tpu-quirks).
+Process structure (round-5 hardening): a thin orchestrator runs two phase
+GROUPS as subprocesses, each a fresh TPU client with clean HBM —
+  --phase main    headline clip (conditioning/sampling/decode) + the
+                  5-round ChatWM session (needs the full composite incl.
+                  the int8 LLM resident)
+  --phase hires   the 576x1024 DDIM-50 synthesis + chunked decode
+                  (diffusion stack only; needs most of the 16 GB chip)
+Round-4's single-process bench crashed the TPU worker in the hi-res phase
+AFTER the LLM/session phases (state-dependent: the same synthesis runs
+green in a clean process — PERF.md round-5). Isolation also means a worker
+crash in one group cannot erase the other group's numbers.
+
+Timing methodology: each sampling iteration ends with its own host fetch
+(the axon tunnel's block_until_ready acks dispatch, not completion);
+per-iteration times are recorded so one contended iteration is visible
+(the r4 26.7 s artifact) instead of silently skewing a chained mean.
 
 vs_baseline: the reference publishes no wall-clock numbers (SURVEY.md §6);
 the north-star target is "under H100 wall-clock per DDIM-50 sample". We use
@@ -23,12 +35,10 @@ baseline_sec / our_sec (>1 means faster).
 
 import json
 import os
+import subprocess
+import sys
 import time
 import traceback
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 from open_pandora_tpu.core import flags
 
@@ -38,6 +48,8 @@ H, W = 320, 512
 T_FRAMES = 16
 BUDGET_S = float(flags.flag("PANDORA_BENCH_BUDGET_S"))
 FAST = flags.flag("PANDORA_BENCH_FAST")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CHECKPOINT = os.path.join(_HERE, "BENCH_partial.json")
 
 _t_start = time.perf_counter()
 
@@ -54,7 +66,16 @@ def _record_failure(breakdown: dict, phase: str, exc: BaseException) -> None:
     traceback.print_exc()  # full detail to stderr for the log tail
 
 
-def main():
+# ---------------------------------------------------------------------------
+# phase group: main (headline clip + 5-round session)
+# ---------------------------------------------------------------------------
+
+
+def phase_main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from open_pandora_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -116,8 +137,7 @@ def main():
     np.asarray(z[0, 0, 0, 0])
     # per-iteration host fetch (forces completion; ~70 ms tunnel floor is
     # <1% of a 13 s phase) so ONE contended iteration can't silently skew
-    # the mean — the r4 lesson: 26.7 s was a transient-environment artifact
-    # invisible in a 2-iteration chained mean (PERF.md round-5 attribution)
+    # the mean — the r4 lesson (PERF.md round-5 attribution)
     iters = 3
     ci = cond_images
     synth_iters = []
@@ -162,12 +182,10 @@ def main():
         "vs_baseline": round(BASELINE_SEC_PER_CLIP / t_clip, 3),
         "breakdown": breakdown,
     }
-    # checkpoint the measured headline NOW: if an optional phase is killed
-    # outright (e.g. host OOM), the round still has its number on disk
-    _checkpoint = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_partial.json")
+    # checkpoint the measured headline NOW: if the session phase is killed
+    # outright (e.g. worker crash), the round still has its number on disk
     try:
-        with open(_checkpoint, "w") as f:
+        with open(_CHECKPOINT, "w") as f:
             f.write(json.dumps(out) + "\n")
     except OSError:
         pass
@@ -204,12 +222,115 @@ def main():
             breakdown["five_round_session_s"] = round(t_session, 2)
             breakdown["per_round_s"] = [
                 [round(a, 2), round(b, 2)] for a, b in chat.round_times]
+            # second run: every round's conditioning/synthesis trace is an
+            # in-process jit cache hit — the steady-state session cost
+            # (the first run is compile-dominated: 5 distinct history
+            # lengths = 5 conditioning traces)
+            t0 = time.perf_counter()
+            chat.generate_video_multiround(img, texts,
+                                           ddim_steps=DDIM_STEPS,
+                                           guidance_scale=4.0, fs=15)
+            breakdown["five_round_session_warm_s"] = round(
+                time.perf_counter() - t0, 2)
+            breakdown["per_round_warm_s"] = [
+                [round(a, 2), round(b, 2)] for a, b in chat.round_times]
             del chat
         except Exception as e:  # noqa: BLE001 — optional phase, never fatal
             _record_failure(breakdown, "five_round_session", e)
 
-    # --- config 3: 576x1024x16f DDIM-50 — ONE real synthesis call
-    # (OpenCLIP encoders + Resampler + batched-CFG DDIM + chunked decode)
+    print(json.dumps(out), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# phase group: hires (config 3 — 576x1024x16f DDIM-50, clean HBM)
+# ---------------------------------------------------------------------------
+
+
+def phase_hires():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_pandora_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from open_pandora_tpu.core.config import PandoraConfig
+    from open_pandora_tpu.models.dynamicrafter import DynamiCrafter
+
+    cfg = PandoraConfig()
+    dc = DynamiCrafter(cfg, dtype=jnp.bfloat16)
+    hh, ww = 576, 1024
+    params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        dc.init_params(jax.random.PRNGKey(0), height=hh, width=ww)))()
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+
+    ci_h = jnp.ones((1, hh, ww, 3), jnp.bfloat16) * 0.5
+    cf_h = jnp.ones((1, 1, hh, ww, 3), jnp.bfloat16) * 0.1
+    tctx = jnp.zeros((1, cfg.unet.text_context_len,
+                      cfg.unet.context_dim), jnp.bfloat16)
+
+    synth_h = jax.jit(lambda p, tc, ci, cf, k:
+                      dc.image_guided_synthesis(
+                          p, text_context=tc, cond_images=ci,
+                          cond_frames=cf, key=k, ddim_steps=DDIM_STEPS,
+                          guidance_scale=7.5, eta=1.0, fs=24))
+    zh = synth_h(params, tctx, ci_h, cf_h, jax.random.PRNGKey(7))
+    np.asarray(zh[0, 0, 0, 0])
+    dec_h = jax.jit(lambda p, zz: dc.decode(p, zz, frame_chunk=2))
+    vh = dec_h(params, zh)
+    np.asarray(vh[0, 0, 0, 0, 0])
+    # timed run (warm)
+    t0 = time.perf_counter()
+    zh = synth_h(params, tctx, ci_h + (vh.sum() * 0).astype(ci_h.dtype),
+                 cf_h, jax.random.PRNGKey(8))
+    np.asarray(zh[0, 0, 0, 0])
+    t_synth_h = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vh = dec_h(params, zh)
+    np.asarray(vh[0, 0, 0, 0, 0])
+    t_dec_h = time.perf_counter() - t0
+    print(json.dumps({
+        "hires_576x1024_ddim50_s": round(t_synth_h + t_dec_h, 2),
+        "hires_sampling_s": round(t_synth_h, 2),
+        "hires_decode_s": round(t_dec_h, 3),
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+
+def _run_child(phase: str, timeout_s: float):
+    """Run one phase group as a fresh TPU-client subprocess; return its last
+    JSON stdout line (dict) or raise. Child stderr passes through."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        stdout=subprocess.PIPE, cwd=_HERE, timeout=timeout_s)
+    lines = [ln for ln in proc.stdout.decode().splitlines()
+             if ln.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"phase {phase} rc={proc.returncode}, "
+            f"stdout tail: {proc.stdout.decode()[-300:]!r}")
+    return json.loads(lines[-1])
+
+
+def main():
+    try:
+        out = _run_child("main", max(120.0, BUDGET_S - _elapsed()))
+    except Exception as e:  # noqa: BLE001
+        # salvage the headline checkpoint if the session phase killed the
+        # child after phase 3 recorded it
+        if os.path.exists(_CHECKPOINT):
+            with open(_CHECKPOINT) as f:
+                out = json.loads(f.read())
+            _record_failure(out["breakdown"], "main_phase_tail", e)
+        else:
+            raise
+    breakdown = out["breakdown"]
+
     if FAST:
         breakdown["hires_576x1024_skipped"] = "PANDORA_BENCH_FAST=1"
     elif _elapsed() >= BUDGET_S - 300:
@@ -217,44 +338,8 @@ def main():
             f"budget (elapsed {_elapsed():.0f}s of {BUDGET_S:.0f}s)")
     else:
         try:
-            # free the LLM weights + 320x512 intermediates: the hi-res
-            # phase needs only the diffusion stack; HBM is tight at 576x1024
-            params = {k: params[k] for k in
-                      ("unet", "vae", "clip_text", "clip_img", "resampler")}
-            del cond, z, zz, video, ci, text_ctx, pr
-            hh, ww = 576, 1024
-            ci_h = jnp.ones((1, hh, ww, 3), jnp.bfloat16) * 0.5
-            cf_h = jnp.ones((1, 1, hh, ww, 3), jnp.bfloat16) * 0.1
-            tctx = jnp.zeros((1, cfg.unet.text_context_len,
-                              cfg.unet.context_dim), jnp.bfloat16)
-
-            synth_h = jax.jit(lambda p, tc, ci, cf, k:
-                              wm.diffusion.image_guided_synthesis(
-                                  p, text_context=tc, cond_images=ci,
-                                  cond_frames=cf, key=k,
-                                  ddim_steps=DDIM_STEPS,
-                                  guidance_scale=7.5, eta=1.0, fs=24))
-            zh = synth_h(params, tctx, ci_h, cf_h, jax.random.PRNGKey(7))
-            np.asarray(zh[0, 0, 0, 0])
-            dec_h = jax.jit(lambda p, zz: wm.diffusion.decode(p, zz,
-                                                              frame_chunk=2))
-            vh = dec_h(params, zh)
-            np.asarray(vh[0, 0, 0, 0, 0])
-            # timed run (warm)
-            t0 = time.perf_counter()
-            zh = synth_h(params, tctx,
-                         ci_h + (vh.sum() * 0).astype(ci_h.dtype),
-                         cf_h, jax.random.PRNGKey(8))
-            np.asarray(zh[0, 0, 0, 0])
-            t_synth_h = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            vh = dec_h(params, zh)
-            np.asarray(vh[0, 0, 0, 0, 0])
-            t_dec_h = time.perf_counter() - t0
-            breakdown["hires_576x1024_ddim50_s"] = round(
-                t_synth_h + t_dec_h, 2)
-            breakdown["hires_sampling_s"] = round(t_synth_h, 2)
-            breakdown["hires_decode_s"] = round(t_dec_h, 3)
+            breakdown.update(_run_child(
+                "hires", max(120.0, BUDGET_S - _elapsed())))
         except Exception as e:  # noqa: BLE001 — optional phase, never fatal
             _record_failure(breakdown, "hires_576x1024", e)
 
@@ -265,9 +350,7 @@ def main():
     # than re-measured inside the bench budget.
     try:
         import glob
-        probes = sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "HIRES_TRAIN_r*.json")))
+        probes = sorted(glob.glob(os.path.join(_HERE, "HIRES_TRAIN_r*.json")))
         if probes:
             with open(probes[-1]) as f:
                 probe = json.load(f)
@@ -280,10 +363,13 @@ def main():
 
     print(json.dumps(out))
     try:
-        os.remove(_checkpoint)
+        os.remove(_CHECKPOINT)
     except OSError:
         pass
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        {"main": phase_main, "hires": phase_hires}[sys.argv[2]]()
+    else:
+        main()

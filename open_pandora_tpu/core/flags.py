@@ -82,6 +82,10 @@ _SPECS = [
     FlagSpec("PANDORA_CONV_CENSUS", "bool", False,
              "Record every traced conv shape into ops.conv2d.CENSUS "
              "(preflight shape harvesting)."),
+    FlagSpec("PANDORA_SPATIAL_DOT", "bool", False,
+             "Route eligible spatial 3x3 convs through the nine-shifted-"
+             "dot XLA formulation (ops/conv2d.py conv3x3_ninedot) instead "
+             "of the conv emitter — round-5 A/B gate."),
     # -- packed-attention tuning
     FlagSpec("PANDORA_PACKED_BLOCKQ", "int", 0,
              "Override the VMEM-model-chosen q-block size (0 = auto)."),

@@ -547,6 +547,10 @@ class _SConv3x3(nn.Module):
                                      self.features)):
             y = conv3x3_nhwc(x, jnp.asarray(kernel), jnp.asarray(bias))
             return y if residual is None else y + residual.astype(y.dtype)
+        if flags.flag("PANDORA_SPATIAL_DOT"):
+            from open_pandora_tpu.ops.conv2d import conv3x3_ninedot
+            y = conv3x3_ninedot(x, jnp.asarray(kernel), jnp.asarray(bias))
+            return y if residual is None else y + residual.astype(y.dtype)
         y = jax.lax.conv_general_dilated(
             x, jnp.asarray(kernel, self.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

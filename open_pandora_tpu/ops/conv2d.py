@@ -451,3 +451,36 @@ def conv3x3_nhwc(x: jnp.ndarray, w: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, wb, bias2d)
+
+
+# ---------------------------------------------------------------------------
+# XLA-level shifted-dot formulation (round 5)
+# ---------------------------------------------------------------------------
+
+
+def conv3x3_ninedot(x: jnp.ndarray, w: jnp.ndarray,
+                    b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stride-1 same-pad 3x3 NHWC conv as NINE shifted full-stream matmuls
+    — the spatial twin of models/unet3d._TConv3's measured temporal win.
+
+    Rationale: XLA:TPU's conv emitter runs the level-0 (c=320) slabs at
+    42-67 TF/s (PERF.md round-4 tables) — tiling slack at small spatial
+    dims, not lane waste. Reformulated as dots, each tap is a
+    (N*H*W, C) @ (C, Co) GEMM with long-M tiling that the MXU pipeline
+    handles at its best, and XLA fuses the +adds into dot epilogues. The
+    pad is materialized ONCE; each tap reads a shifted window of it.
+    Fully differentiable (pure XLA ops) — usable in training paths, unlike
+    the Pallas kernels above. Routing: models/unet3d._SConv3x3 under
+    PANDORA_SPATIAL_DOT (measured A/B gate).
+    """
+    Hh, Ww = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wb = w.astype(x.dtype)
+    y = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = xp[:, dy:dy + Hh, dx:dx + Ww, :] @ wb[dy, dx]
+            y = tap if y is None else y + tap
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

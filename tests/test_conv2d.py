@@ -326,3 +326,53 @@ def test_resblock_fused_route_channel_change(monkeypatch):
     out = block.apply(params, x, emb, batch_size=B)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_ninedot_matches_lax_conv():
+    """conv3x3_ninedot (round-5 shifted-dot formulation) vs the XLA conv,
+    fp32 exact up to reduction order."""
+    from open_pandora_tpu.ops.conv2d import conv3x3_ninedot
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 10, 12, 24), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 24, 16), jnp.float32) * 0.1
+    b = jax.random.normal(k3, (16,), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = conv3x3_ninedot(x, w, b)
+    assert jnp.max(jnp.abs(got - ref)) < 1e-4
+
+
+def test_ninedot_routing_flag(monkeypatch):
+    """PANDORA_SPATIAL_DOT routes _SConv3x3's default path through the
+    nine-dot form; outputs must match the conv emitter path."""
+    from open_pandora_tpu.models.unet3d import _SConv3x3
+    mod = _SConv3x3(features=16, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 12), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    base = mod.apply(params, x)
+    monkeypatch.setenv("PANDORA_SPATIAL_DOT", "1")
+    routed = mod.apply(params, x)
+    assert jnp.max(jnp.abs(routed - base)) < 1e-4
+
+
+def test_ninedot_grad_matches_conv():
+    from open_pandora_tpu.ops.conv2d import conv3x3_ninedot
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (1, 6, 6, 8), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 8, 8), jnp.float32) * 0.1
+
+    def loss_nine(w):
+        return jnp.sum(conv3x3_ninedot(x, w) ** 2)
+
+    def loss_conv(w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(loss_nine)(w)
+    g2 = jax.grad(loss_conv)(w)
+    assert jnp.max(jnp.abs(g1 - g2)) < 1e-3
