@@ -85,7 +85,15 @@ def main():
                         "(make_offloaded_latent_step) — the fallback when "
                         "the device-resident step OOMs HBM (measured "
                         "2026-08-19: resident 8-bit moments + no-donation "
-                        "double-buffering exceed 16 GB at 576x1024)")
+                        "double-buffering exceed 16 GB at 576x1024). "
+                        "Measured 2026-08-21: the offloaded module's AOT "
+                        "compile kills the axon compile helper (SIGKILL); "
+                        "prefer --split on single chip.")
+    p.add_argument("--split", action="store_true",
+                   help="two-jit grad/update step (make_split_latent_step):"
+                        " backward remat temps and optimizer double-buffers"
+                        " never share an HBM peak — the configuration that "
+                        "fits 576x1024 on one 16 GB chip")
     args = p.parse_args()
 
     if args.phase == "precompute":
@@ -143,6 +151,10 @@ def main():
     if args.offload:
         from open_pandora_tpu.train.step import make_offloaded_latent_step
         step, tx, put_state = make_offloaded_latent_step(model, tcfg)
+    elif args.split:
+        from open_pandora_tpu.train.step import make_split_latent_step
+        step, tx = make_split_latent_step(model, tcfg)
+        put_state = lambda s: s
     else:
         step, tx = make_latent_finetune_step(model, tcfg)
         put_state = lambda s: s
@@ -153,6 +165,8 @@ def main():
     t0 = time.perf_counter()
     try:
         state, m = step(state, batch, jax.random.PRNGKey(3))
+        # the host fetch is where a deferred runtime OOM actually surfaces
+        # — keep it inside the try so HBM stats still print on failure
         loss0 = float(m["loss"])  # host fetch = sync (compile + step)
     except Exception:
         try:
@@ -182,7 +196,8 @@ def main():
 
     print(json.dumps({
         "metric": (f"latent_finetune_step_{H}x{W}x{T}f_bs1"
-                   + ("_hostoffload" if args.offload else "")),
+                   + ("_hostoffload" if args.offload else "")
+                   + ("_splitstep" if args.split else "")),
         "optimizer": args.optimizer,
         "sec_per_step": round(per_step, 3),
         "compile_s": round(compile_s, 1),

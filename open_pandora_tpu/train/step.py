@@ -215,17 +215,10 @@ def make_offloaded_latent_step(model: DynamiCrafter, tcfg: TrainConfig):
     return step, tx, put_state
 
 
-def make_latent_finetune_step(model: DynamiCrafter, tcfg: TrainConfig,
-                              mesh_spec: Optional[MeshSpec] = None):
-    """Finetune step over PRECOMPUTED latents + conditioning: batch =
-    {z (b,T,hz,wz,4), ctx (b,L,ctx_dim), z_cond (b,T,hz,wz,4), fps (b,)}.
-
-    Everything in the loss except the UNet is frozen (model.py:951-965
-    optimizer param groups), so the VAE/CLIP encoders can run once outside
-    the step — their params and activations then stay out of the step's
-    HBM footprint. This is the memory-critical configuration for the
-    single-chip 576x1024x16f step (BASELINE.md config 3 resolution); the
-    frozen partition of the TrainState may be left empty."""
+def _latent_loss_fn(model: DynamiCrafter):
+    """Diffusion loss over PRECOMPUTED latents + conditioning — shared by
+    the fused and split latent steps. Batch contract: see
+    make_latent_finetune_step."""
     cfg = model.cfg
 
     def loss_fn(trainable, frozen, batch, key):
@@ -245,8 +238,68 @@ def make_latent_finetune_step(model: DynamiCrafter, tcfg: TrainConfig,
             use_dynamic_rescale=cfg.diffusion.use_dynamic_rescale,
             l_simple_weight=cfg.diffusion.l_simple_weight)
 
+    return loss_fn
+
+
+def make_latent_finetune_step(model: DynamiCrafter, tcfg: TrainConfig,
+                              mesh_spec: Optional[MeshSpec] = None):
+    """Finetune step over PRECOMPUTED latents + conditioning: batch =
+    {z (b,T,hz,wz,4), ctx (b,L,ctx_dim), z_cond (b,T,hz,wz,4), fps (b,)}.
+
+    Everything in the loss except the UNet is frozen (model.py:951-965
+    optimizer param groups), so the VAE/CLIP encoders can run once outside
+    the step — their params and activations then stay out of the step's
+    HBM footprint. This is the memory-critical configuration for the
+    single-chip 576x1024x16f step (BASELINE.md config 3 resolution); the
+    frozen partition of the TrainState may be left empty."""
     return make_finetune_step(model, tcfg, mesh_spec=mesh_spec,
-                              stage="dynamicrafter", loss_fn=loss_fn)
+                              stage="dynamicrafter",
+                              loss_fn=_latent_loss_fn(model))
+
+
+def make_split_latent_step(model: DynamiCrafter, tcfg: TrainConfig):
+    """Latent finetune step as TWO jits — grad phase, then update phase —
+    for the HBM-critical single-chip shapes (576x1024x16f, BASELINE.md
+    config 3 resolution).
+
+    In the fused step, XLA schedules the optimizer update concurrently
+    with the tail of the backward pass, so the peak live set holds remat
+    temporaries AND the update's double-buffers (old+new params, old+new
+    moments) at once — and the axon AOT runtime implements no
+    input/output aliasing, so donation cannot collapse the double-buffers
+    (measured: requesting it makes the estimate worse). Splitting puts a
+    hard barrier between the two regimes:
+
+      grad phase   peak = params + resident moments + grads + remat temps
+      update phase peak = params + grads + moments + new params/moments
+
+    Each peak fits 16 GB where the union does not. The extra cost is one
+    dispatch boundary and re-reading the grads from HBM (~2.9 GB, ~1.5 ms
+    at 2 TB/s) — noise against a multi-second hi-res step. Multi-chip
+    training should prefer ZeRO-2 sharding (make_latent_finetune_step with
+    a mesh) instead."""
+    lfn = _latent_loss_fn(model)
+    tx = make_optimizer(tcfg)
+
+    @jax.jit
+    def grad_phase(trainable, frozen, batch, key):
+        (_, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(
+            trainable, frozen, batch, key)
+        return grads, metrics
+
+    @jax.jit
+    def update_phase(state, grads):
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        return state.replace(step=state.step + 1, trainable=new_trainable,
+                             opt_state=new_opt), optax.global_norm(grads)
+
+    def step(state: TrainState, batch, key):
+        grads, metrics = grad_phase(state.trainable, state.frozen, batch, key)
+        new_state, gnorm = update_phase(state, grads)
+        return new_state, {**metrics, "grad_norm": gnorm}
+
+    return step, tx
 
 
 def make_alignment_step(wm, tcfg: TrainConfig,

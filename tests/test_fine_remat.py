@@ -53,6 +53,40 @@ def _run_steps(fine_remat: bool, n=2):
     return losses, jax.tree_util.tree_map(np.asarray, state.trainable)
 
 
+def test_split_step_matches_fused_step():
+    """make_split_latent_step (two-jit grad/update, the single-chip
+    576x1024 HBM configuration) must be numerically identical to the fused
+    step — the split is a scheduling barrier, not a math change."""
+    from open_pandora_tpu.train.step import make_split_latent_step
+
+    model = DynamiCrafter(TINY)
+    params = model.init_params(jax.random.PRNGKey(0), height=32, width=32)
+    tcfg = TrainConfig(learning_rate=1e-4, uncond_prob=0.0,
+                       grad_clip_norm=0.5, max_steps=10)
+    batch = _latent_batch(2)
+
+    def run(maker):
+        made = maker(model, tcfg)
+        step = made[0]
+        state = TrainState.create(
+            {"unet": params["unet"]}, "dynamicrafter", made[1])
+        losses = []
+        for _ in range(2):
+            state, m = step(state, batch, jax.random.PRNGKey(3))
+            losses.append(float(m["loss"]))
+        return losses, float(m["grad_norm"]), state
+
+    losses_f, gn_f, sf = run(make_latent_finetune_step)
+    losses_s, gn_s, ss = run(make_split_latent_step)
+    np.testing.assert_allclose(losses_s, losses_f, rtol=1e-5)
+    np.testing.assert_allclose(gn_s, gn_f, rtol=1e-5)
+    assert int(ss.step) == 2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
+        ss.trainable, sf.trainable)
+
+
 def test_fine_remat_matches_plain_step():
     losses_plain, tree_plain = _run_steps(False)
     losses_fine, tree_fine = _run_steps(True)
