@@ -270,11 +270,14 @@ def phase_hires():
     tctx = jnp.zeros((1, cfg.unet.text_context_len,
                       cfg.unet.context_dim), jnp.bfloat16)
 
-    synth_h = jax.jit(lambda p, tc, ci, cf, k:
-                      dc.image_guided_synthesis(
-                          p, text_context=tc, cond_images=ci,
-                          cond_frames=cf, key=k, ddim_steps=DDIM_STEPS,
-                          guidance_scale=7.5, eta=1.0, fs=24))
+    # SEGMENTED sampling (10 steps/dispatch): the single-program 50-step
+    # scan at 576x1024 runs ~63 s and the axon worker kills programs past
+    # its ~31-63 s watchdog (measured 2026-08-21, PERF.md round-5); the
+    # host-driven segments are numerically identical
+    synth_h = lambda p, tc, ci, cf, k: dc.image_guided_synthesis_segmented(
+        p, text_context=tc, cond_images=ci, cond_frames=cf, key=k,
+        ddim_steps=DDIM_STEPS, segment_steps=10,
+        guidance_scale=7.5, eta=1.0, fs=24)
     zh = synth_h(params, tctx, ci_h, cf_h, jax.random.PRNGKey(7))
     np.asarray(zh[0, 0, 0, 0])
     dec_h = jax.jit(lambda p, zz: dc.decode(p, zz, frame_chunk=2))
@@ -294,6 +297,9 @@ def phase_hires():
         "hires_576x1024_ddim50_s": round(t_synth_h + t_dec_h, 2),
         "hires_sampling_s": round(t_synth_h, 2),
         "hires_decode_s": round(t_dec_h, 3),
+        # the hires child can run under different routing than phase main
+        # (see the crash-fallback retry below) — name it
+        "hires_flags": flags.snapshot(),
     }), flush=True)
 
 
@@ -302,12 +308,16 @@ def phase_hires():
 # ---------------------------------------------------------------------------
 
 
-def _run_child(phase: str, timeout_s: float):
+def _run_child(phase: str, timeout_s: float, extra_env: dict = None):
     """Run one phase group as a fresh TPU-client subprocess; return its last
     JSON stdout line (dict) or raise. Child stderr passes through."""
+    env = None
+    if extra_env:
+        env = dict(os.environ)
+        env.update(extra_env)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--phase", phase],
-        stdout=subprocess.PIPE, cwd=_HERE, timeout=timeout_s)
+        stdout=subprocess.PIPE, cwd=_HERE, timeout=timeout_s, env=env)
     lines = [ln for ln in proc.stdout.decode().splitlines()
              if ln.startswith("{")]
     if proc.returncode != 0 or not lines:
@@ -315,6 +325,28 @@ def _run_child(phase: str, timeout_s: float):
             f"phase {phase} rc={proc.returncode}, "
             f"stdout tail: {proc.stdout.decode()[-300:]!r}")
     return json.loads(lines[-1])
+
+
+def _wait_for_chip(timeout_s: float) -> None:
+    """Block until a fresh TPU client can run one op (the worker restarts
+    over several minutes after a crash). Raises on timeout."""
+    deadline = time.perf_counter() + timeout_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((8, 8)).sum()))")
+    while True:
+        left = deadline - time.perf_counter()
+        if left <= 0:
+            raise TimeoutError(f"TPU worker not back within {timeout_s:.0f}s")
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], cwd=_HERE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=min(240.0, left)).returncode
+            if rc == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(30)
 
 
 def main():
@@ -342,6 +374,25 @@ def main():
                 "hires", max(120.0, BUDGET_S - _elapsed())))
         except Exception as e:  # noqa: BLE001 — optional phase, never fatal
             _record_failure(breakdown, "hires_576x1024", e)
+            # 2026-08-21: the default-routing hires child crashed the TPU
+            # worker even in a clean process ("kernel fault"); the only
+            # hi-res-exclusive Pallas path is the multi-KV packed
+            # attention (N=9216). Bank a measured config-3 number on the
+            # flash-attention fallback rather than losing the phase — the
+            # child's hires_flags names the routing. The worker needs a
+            # few minutes to restart after a crash; poll for it.
+            if _elapsed() < BUDGET_S - 600:
+                try:
+                    _wait_for_chip(max(120.0, min(1800.0,
+                                                  BUDGET_S - _elapsed() - 900)))
+                    breakdown.update(_run_child(
+                        "hires", max(120.0, BUDGET_S - _elapsed()),
+                        extra_env={"PANDORA_DISABLE_PACKED": "1"}))
+                    breakdown["hires_576x1024_fallback"] = (
+                        "retried with PANDORA_DISABLE_PACKED=1 after the "
+                        "default-routing child crashed")
+                except Exception as e2:  # noqa: BLE001
+                    _record_failure(breakdown, "hires_576x1024_retry", e2)
 
     # --- config 5 adjunct: the hi-res train-step probe
     # (tools/hires_train_probe.py) is a separate long-compile process; the

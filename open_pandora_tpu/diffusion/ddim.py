@@ -110,13 +110,25 @@ def ddim_sample(
     guidance_rescale: float = 0.0,
     temperature: float = 1.0,
     parameterization: str = "v",
+    start=None,
+    length: Optional[int] = None,
 ) -> jnp.ndarray:
     """Run the full DDIM reverse process; returns x_0 latents.
 
     `model_fn` evaluates the denoiser for all needed guidance streams at once
     (callers should stack streams on the batch axis for a single UNet call —
     see `make_cfg_model_fn`).
-    """
+
+    start/length run only sampling steps [start, start+length) — the
+    building block for SEGMENTED sampling, where a host driver dispatches
+    the reverse process as several bounded device programs (the axon TPU
+    worker kills any single program running longer than ~31-63 s; a
+    576x1024 DDIM-50 scan is ~63 s). `length` must be static (it is the
+    scan trip count); `start` may be a traced int32 scalar, so ONE
+    compiled segment is reused across the whole schedule. Per-step noise
+    is keyed by the GLOBAL step index (fold_in(key, idx)), so any
+    segmentation of the same schedule is bitwise-identical to the full
+    scan."""
     S = params.num_steps
     b = x_T.shape[0]
     bshape = (b,) + (1,) * (x_T.ndim - 1)
@@ -173,7 +185,11 @@ def ddim_sample(
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
         return x_prev.astype(x.dtype), None
 
-    x0, _ = jax.lax.scan(step, x_T, jnp.arange(S))
+    if start is None:
+        idxs = jnp.arange(S)
+    else:
+        idxs = jnp.asarray(start, jnp.int32) + jnp.arange(int(length))
+    x0, _ = jax.lax.scan(step, x_T, idxs)
     return x0
 
 

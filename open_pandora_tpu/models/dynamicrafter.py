@@ -147,9 +147,31 @@ class DynamiCrafter:
         _apply_model: optional override with the apply_model signature
         (params, x, t, ctx, concat, fs) — the hook parallel/sharded_infer.py
         uses to shard the CFG-stream batch over a mesh."""
+        streams = self._synthesis_streams(
+            params, text_context, cond_images, cond_frames,
+            guidance_scale=guidance_scale,
+            uncond_text_context=uncond_text_context, cfg_img=cfg_img, fs=fs)
+        model_fn = self._synthesis_model_fn(params, streams,
+                                            _apply_model=_apply_model)
+        dd = make_ddim_schedule(
+            self.schedule, ddim_steps, eta, timestep_spacing,
+            use_dynamic_rescale=self.cfg.diffusion.use_dynamic_rescale)
+
+        x_T, k_samp = self._synthesis_init_noise(streams, key)
+        return ddim_sample(
+            model_fn, dd, x_T, k_samp,
+            guidance_scale=guidance_scale,
+            cfg_img=cfg_img if streams["uncond_img_ctx"] is not None else None,
+            guidance_rescale=guidance_rescale,
+            parameterization=self.cfg.diffusion.parameterization)
+
+    def _synthesis_streams(self, params, text_context, cond_images,
+                           cond_frames, *, guidance_scale,
+                           uncond_text_context, cfg_img, fs) -> dict:
+        """Encoder pass of image_guided_synthesis: CLIP image context, VAE
+        conditioning latents, and the per-CFG-stream cross-attn contexts."""
         cfg = self.cfg
         b = text_context.shape[0]
-        T = cfg.unet.temporal_length
 
         img_ctx = self.encode_image_context(params, cond_images)
         z_cond = self.get_latent_z(params, cond_frames)
@@ -169,7 +191,14 @@ class DynamiCrafter:
                 uncond_img_ctx = jnp.concatenate(
                     [uncond_text_context, img_ctx], axis=1)
 
-        fs_arr = jnp.full((b,), fs, dtype=jnp.int32)
+        return {"cond_ctx": cond_ctx, "uncond_ctx": uncond_ctx,
+                "uncond_img_ctx": uncond_img_ctx, "z_cond": z_cond,
+                "fs": jnp.full((b,), fs, dtype=jnp.int32)}
+
+    def _synthesis_model_fn(self, params, streams: dict, _apply_model=None):
+        """CFG ModelFn over precomputed streams (one batched UNet call)."""
+        z_cond, fs_arr = streams["z_cond"], streams["fs"]
+        b = z_cond.shape[0]
 
         raw_apply = _apply_model or (
             lambda p, x, t, ctx, concat, fs: self.apply_model(
@@ -184,25 +213,103 @@ class DynamiCrafter:
                 jnp.concatenate([fs_arr] * reps, axis=0))
 
         # context is the only stream-dependent leaf; concat_cond/fs repeat
-        model_fn = make_cfg_model_fn(
+        return make_cfg_model_fn(
             lambda x, t, ctx: apply(x, t, ctx),
-            cond_ctx, uncond_ctx, uncond_img=uncond_img_ctx,
-            batched_cfg=cfg.sampler.batched_cfg)
+            streams["cond_ctx"], streams["uncond_ctx"],
+            uncond_img=streams["uncond_img_ctx"],
+            batched_cfg=self.cfg.sampler.batched_cfg)
 
-        dd = make_ddim_schedule(
-            self.schedule, ddim_steps, eta, timestep_spacing,
-            use_dynamic_rescale=cfg.diffusion.use_dynamic_rescale)
-
-        hz, wz = z_cond.shape[2], z_cond.shape[3]
+    def _synthesis_init_noise(self, streams: dict, key: jax.Array):
+        z_cond = streams["z_cond"]
+        b, T, hz, wz = z_cond.shape[:4]
         k_noise, k_samp = jax.random.split(key)
-        x_T = jax.random.normal(k_noise, (b, T, hz, wz, cfg.vae.z_channels),
-                                dtype=self.dtype)
-        return ddim_sample(
-            model_fn, dd, x_T, k_samp,
-            guidance_scale=guidance_scale,
-            cfg_img=cfg_img if uncond_img_ctx is not None else None,
-            guidance_rescale=guidance_rescale,
-            parameterization=cfg.diffusion.parameterization)
+        x_T = jax.random.normal(
+            k_noise, (b, T, hz, wz, self.cfg.vae.z_channels),
+            dtype=self.dtype)
+        return x_T, k_samp
+
+    def image_guided_synthesis_segmented(
+        self,
+        params,
+        *,
+        text_context: jnp.ndarray,
+        cond_images: jnp.ndarray,
+        cond_frames: jnp.ndarray,
+        key: jax.Array,
+        segment_steps: int = 10,
+        ddim_steps: int = 50,
+        guidance_scale: float = 7.5,
+        eta: float = 1.0,
+        fs: int = 15,
+        guidance_rescale: float = 0.0,
+        timestep_spacing: str = "uniform_trailing",
+        uncond_text_context: Optional[jnp.ndarray] = None,
+        cfg_img: Optional[float] = None,
+    ) -> jnp.ndarray:
+        """image_guided_synthesis as a HOST-side driver over bounded device
+        programs: one jitted encoder/setup program, then the DDIM scan
+        dispatched in <=segment_steps chunks (one compiled segment reused
+        with a traced start index; a shorter remainder segment compiles
+        separately). Per-step noise keys use the global step index, so the
+        result is IDENTICAL to the single-program sampler for any
+        segment_steps.
+
+        Exists because the axon TPU worker kills any single device program
+        running longer than its watchdog (measured 2026-08-21 at 576x1024:
+        25-step scan = 31 s green, 50-step scan = ~63 s crashes the
+        worker). 10 hi-res steps ~ 13 s/segment keeps a wide margin; at
+        320x512 the full 50-step scan (13 s) never needed this. Do NOT
+        wrap this method in jax.jit — that would refuse the host loop and
+        rebuild the single long program."""
+        cfg = self.cfg
+        if not hasattr(self, "_segmented_jit_cache"):
+            self._segmented_jit_cache = {}
+        static_key = (
+            text_context.shape, cond_images.shape, cond_frames.shape,
+            None if uncond_text_context is None else uncond_text_context.shape,
+            segment_steps, ddim_steps, guidance_scale, eta, fs,
+            guidance_rescale, timestep_spacing, cfg_img)
+        entry = self._segmented_jit_cache.get(static_key)
+        if entry is None:
+            dd = make_ddim_schedule(
+                self.schedule, ddim_steps, eta, timestep_spacing,
+                use_dynamic_rescale=cfg.diffusion.use_dynamic_rescale)
+
+            def setup(params, tc, ci, cf, utc, key):
+                streams = self._synthesis_streams(
+                    params, tc, ci, cf, guidance_scale=guidance_scale,
+                    uncond_text_context=utc, cfg_img=cfg_img, fs=fs)
+                x_T, k_samp = self._synthesis_init_noise(streams, key)
+                return streams, x_T, k_samp
+
+            def make_segment(length):
+                def segment(params, x, streams, k_samp, start):
+                    model_fn = self._synthesis_model_fn(params, streams)
+                    return ddim_sample(
+                        model_fn, dd, x, k_samp,
+                        guidance_scale=guidance_scale,
+                        cfg_img=(cfg_img
+                                 if streams["uncond_img_ctx"] is not None
+                                 else None),
+                        guidance_rescale=guidance_rescale,
+                        parameterization=cfg.diffusion.parameterization,
+                        start=start, length=length)
+                return jax.jit(segment)
+
+            lengths = {min(segment_steps, ddim_steps - s)
+                       for s in range(0, ddim_steps, segment_steps)}
+            entry = (jax.jit(setup),
+                     {length: make_segment(length) for length in lengths})
+            self._segmented_jit_cache[static_key] = entry
+
+        setup_fn, segment_fns = entry
+        streams, x, k_samp = setup_fn(params, text_context, cond_images,
+                                      cond_frames, uncond_text_context, key)
+        for s in range(0, ddim_steps, segment_steps):
+            length = min(segment_steps, ddim_steps - s)
+            x = segment_fns[length](params, x, streams, k_samp,
+                                    jnp.int32(s))
+        return x
 
     def decode(self, params, z: jnp.ndarray, frame_chunk: int = 1) -> jnp.ndarray:
         """latents -> video (b, t, h, w, 3) in [-1, 1] (clamped by caller)."""

@@ -129,12 +129,32 @@ class ChatWM:
         if not hasattr(self, "_synth_cache"):
             self._synth_cache = {}
         if key_t not in self._synth_cache:
-            def synth(p, text_ctx, ci, cf, k):
-                return self.wm.diffusion.image_guided_synthesis(
-                    p, text_context=text_ctx, cond_images=ci, cond_frames=cf,
-                    key=k, ddim_steps=ddim_steps, fs=fs,
-                    guidance_scale=guidance_scale, eta=eta, **kw)
-            self._synth_cache[key_t] = jax.jit(synth)
+            # the axon TPU worker kills any single device program past its
+            # watchdog (~31-63 s; PERF.md round-5): 50 DDIM steps at
+            # 320x512 run 13 s (green), at 576x1024 ~63 s (worker crash).
+            # Budget the per-program step count by the measured per-step
+            # cost scaling with pixel count, with >2x headroom; beyond it,
+            # route to the host-driven segmented sampler (numerically
+            # identical, one bounded program per segment).
+            h, w = self.hw
+            steps_budget = max(1, int(25 * (320 * 512) / (h * w)))
+            if ddim_steps > steps_budget:
+                def synth(p, text_ctx, ci, cf, k):
+                    return self.wm.diffusion.image_guided_synthesis_segmented(
+                        p, text_context=text_ctx, cond_images=ci,
+                        cond_frames=cf, key=k, ddim_steps=ddim_steps, fs=fs,
+                        guidance_scale=guidance_scale, eta=eta,
+                        segment_steps=steps_budget, **kw)
+                # not jitted at this level: the method drives its own
+                # cached per-segment jits
+                self._synth_cache[key_t] = synth
+            else:
+                def synth(p, text_ctx, ci, cf, k):
+                    return self.wm.diffusion.image_guided_synthesis(
+                        p, text_context=text_ctx, cond_images=ci,
+                        cond_frames=cf, key=k, ddim_steps=ddim_steps, fs=fs,
+                        guidance_scale=guidance_scale, eta=eta, **kw)
+                self._synth_cache[key_t] = jax.jit(synth)
         return self._synth_cache[key_t]
 
     def _run_round(self, cond_frames, ddim_steps, fs, guidance_scale, eta,

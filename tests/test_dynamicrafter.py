@@ -113,6 +113,35 @@ def test_synthesis_deterministic(model_and_params):
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
 
 
+def test_segmented_synthesis_matches_full(model_and_params):
+    """image_guided_synthesis_segmented (host-driven bounded device
+    programs, built for the axon ~60 s per-program watchdog at 576x1024)
+    must reproduce the single-program sampler EXACTLY for any
+    segment_steps — per-step noise is keyed by the global step index, so
+    segmentation is pure re-dispatching. Uses ddim_steps=5 with
+    segment_steps=2 to exercise both the reused full segment (traced
+    start) and the remainder segment."""
+    model, params = model_and_params
+    text_ctx = model.encode_text(params, empty_prompt_tokens(1, 7))
+    kw = dict(text_context=text_ctx,
+              cond_images=jax.random.uniform(jax.random.PRNGKey(4),
+                                             (1, 28, 28, 3)),
+              cond_frames=jax.random.uniform(jax.random.PRNGKey(5),
+                                             (1, 1, H, W, 3)) * 2 - 1,
+              key=jax.random.PRNGKey(6), ddim_steps=5, guidance_scale=4.0)
+    z_full = model.image_guided_synthesis(params, **kw)
+    z_seg = model.image_guided_synthesis_segmented(
+        params, segment_steps=2, **kw)
+    np.testing.assert_allclose(np.asarray(z_seg, np.float32),
+                               np.asarray(z_full, np.float32),
+                               atol=0, rtol=0)
+    # segment jits are cached: a second call must reuse them
+    assert len(model._segmented_jit_cache) == 1
+    z_seg2 = model.image_guided_synthesis_segmented(
+        params, segment_steps=2, **kw)
+    np.testing.assert_array_equal(np.asarray(z_seg2), np.asarray(z_seg))
+
+
 def test_three_way_cfg(model_and_params):
     """cfg_img path: 3 guidance streams (ddim_multiplecond.py:210-234).
     Zero-init kernels are perturbed so the streams produce distinct
