@@ -361,6 +361,11 @@ def main():
             _record_failure(out["breakdown"], "main_phase_tail", e)
         else:
             raise
+    # emit the headline IMMEDIATELY: if the orchestrator is killed during
+    # the optional hires phase below, the last JSON line on stdout is still
+    # a complete record (the final enriched line supersedes it when we get
+    # there — consumers take the last line)
+    print(json.dumps(out), flush=True)
     breakdown = out["breakdown"]
 
     if FAST:
