@@ -132,12 +132,14 @@ class ChatWM:
             # the axon TPU worker kills any single device program past its
             # watchdog (~31-63 s; PERF.md round-5): 50 DDIM steps at
             # 320x512 run 13 s (green), at 576x1024 ~63 s (worker crash).
-            # Budget the per-program step count by the measured per-step
-            # cost scaling with pixel count, with >2x headroom; beyond it,
-            # route to the host-driven segmented sampler (numerically
-            # identical, one bounded program per segment).
+            # Budget ~15 s of execution per program (0.263 s/step at
+            # 320x512, scaling with pixel count -> 57 steps there, 15 at
+            # 576x1024) — 2-4x under the watchdog, and the known-green
+            # 320x512 DDIM-50 product path stays a single program. Beyond
+            # the budget, route to the host-driven segmented sampler
+            # (numerically identical, one bounded program per segment).
             h, w = self.hw
-            steps_budget = max(1, int(25 * (320 * 512) / (h * w)))
+            steps_budget = max(1, int(57 * (320 * 512) / (h * w)))
             if ddim_steps > steps_budget:
                 def synth(p, text_ctx, ci, cf, k):
                     return self.wm.diffusion.image_guided_synthesis_segmented(
